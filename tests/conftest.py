@@ -1,0 +1,23 @@
+"""Test configuration: fp64 CPU JAX with an 8-device virtual mesh.
+
+TPU v5e's fp64 is emulated/slow and the reference's golden tolerances (2-7
+decimals, MetPy-derived) need fp64, so correctness tests run on the CPU
+backend with x64 enabled; multi-chip sharding tests use
+xla_force_host_platform_device_count=8 (something the reference, dask-bound,
+never had).  The benchmark (bench.py) runs fp32 on real TPU hardware instead.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+
+# The axon TPU plugin overrides the JAX_PLATFORMS env var, so force the CPU
+# backend through the config API as well.
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)

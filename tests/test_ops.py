@@ -1,0 +1,202 @@
+"""Unit tests for the vertical-column ops layer (reference L2 equivalents)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_almost_equal, assert_array_almost_equal
+
+from xarray_parcel_tpu import ops
+
+
+def test_nan_reductions():
+    x = jnp.array([[1.0, jnp.nan, 3.0], [jnp.nan, jnp.nan, jnp.nan]])
+    assert_array_almost_equal(np.asarray(ops.nanmax(x)), [3.0, np.nan])
+    assert_array_almost_equal(np.asarray(ops.nanmin(x)), [1.0, np.nan])
+    assert_array_almost_equal(np.asarray(ops.nansum(x)), [4.0, 0.0])
+    assert_array_almost_equal(np.asarray(ops.nanmean(x)), [2.0, np.nan])
+    w = jnp.array([[True, True, False], [True, True, True]])
+    assert_array_almost_equal(np.asarray(ops.nanmax(x, where=w)),
+                              [1.0, np.nan])
+
+
+def test_linear_interp_basic_and_duplicates():
+    coords = jnp.array([1000.0, 900.0, 800.0, 700.0])
+    x = jnp.array([10.0, 20.0, 30.0, 40.0])
+    assert_almost_equal(float(ops.linear_interp(x, coords, 850.0)), 25.0, 10)
+    # Exact match passes through.
+    assert_almost_equal(float(ops.linear_interp(x, coords, 800.0)), 30.0, 10)
+    # Duplicate coords average their values.
+    coords2 = jnp.array([1000.0, 900.0, 900.0, 700.0])
+    x2 = jnp.array([10.0, 20.0, 40.0, 50.0])
+    assert_almost_equal(float(ops.linear_interp(x2, coords2, 800.0)),
+                        (30.0 + 50.0) / 2.0, 10)
+    # Out of range -> NaN without extrapolation.
+    assert np.isnan(float(ops.linear_interp(x, coords, 1100.0)))
+    # With extrapolation: line through the two largest coords.
+    assert_almost_equal(float(ops.linear_interp(x, coords, 1100.0,
+                                                extrapolate=True)), 0.0, 10)
+    assert_almost_equal(float(ops.linear_interp(x, coords, 600.0,
+                                                extrapolate=True)), 50.0, 10)
+
+
+def test_log_interp_matches_log_space():
+    coords = jnp.array([1000.0, 500.0])
+    x = jnp.array([0.0, 1.0])
+    got = float(ops.log_interp(x, coords, 700.0))
+    want = (np.log(700.0) - np.log(1000.0)) / (np.log(500.0) - np.log(1000.0))
+    assert_almost_equal(got, want, 10)
+
+
+def test_interp1d_matches_numpy():
+    rng = np.random.default_rng(0)
+    xp = np.sort(rng.uniform(0, 10, size=(5, 32)), axis=-1)
+    fp = rng.normal(size=(5, 32))
+    at = rng.uniform(-1, 11, size=(5, 7))
+    got = np.asarray(ops.interp1d(jnp.array(at), jnp.array(xp), jnp.array(fp)))
+    want = np.stack([np.interp(at[i], xp[i], fp[i]) for i in range(5)])
+    assert_array_almost_equal(got, want, 12)
+
+
+def test_find_intersections_linear():
+    # a = x, b = 4 - x cross at x = 2, y = 2 (increasing crossing of a over b).
+    x = jnp.array([0.0, 1.0, 3.0, 4.0])
+    a = x
+    b = 4.0 - x
+    ints = ops.find_intersections(x, a, b)
+    ix = np.asarray(ints['all_x'])
+    iy = np.asarray(ints['all_y'])
+    assert_array_almost_equal(ix, [np.nan, 2.0, np.nan])
+    assert_array_almost_equal(iy, [np.nan, 2.0, np.nan])
+    assert_array_almost_equal(np.asarray(ints['increasing_x']),
+                              [np.nan, 2.0, np.nan])
+    assert np.all(np.isnan(np.asarray(ints['decreasing_x'])))
+
+
+def test_find_intersections_log():
+    # In log-x space: a - b linear in log x, crossing at log x = mid.
+    x = jnp.array([100.0, 10.0, 1.0])
+    a = jnp.array([1.0, -1.0, -3.0])
+    b = jnp.zeros(3)
+    ints = ops.find_intersections(x, a, b, log_x=True)
+    ix = np.asarray(ints['all_x'])
+    # crossing halfway in log space between 100 and 10 -> sqrt(1000)
+    assert_almost_equal(ix[0], np.sqrt(1000.0), 8)
+    assert np.isnan(ix[1])
+
+
+def test_trapz_and_masks():
+    x = jnp.array([0.0, 1.0, 2.0, 3.0])
+    y = jnp.array([0.0, 1.0, -1.0, 2.0])
+    # full trapezoid: .5*(0+1) + .5*(1-1) + .5*(-1+2) = 1.0
+    assert_almost_equal(float(ops.trapz(y, x)), 1.0, 12)
+    mask = jnp.array([True, False, True])
+    assert_almost_equal(float(ops.trapz(y, x, mask=mask)), 1.0, 12)
+    assert_almost_equal(float(ops.trapz(y, x, only_positive=True)), 1.0, 12)
+    assert_almost_equal(float(ops.trapz(y, x, only_negative=True)), 0.0, 12)
+    # NaN gap skipped
+    y2 = jnp.array([0.0, jnp.nan, -1.0, 2.0])
+    assert_almost_equal(float(ops.trapz(y2, x)), 0.5, 12)
+
+
+def test_trap_around_zeros_rectangles():
+    # y crosses zero between x=1 (y=1) and x=2 (y=-1) at x=1.5.
+    x = jnp.array([0.0, 1.0, 2.0, 3.0])
+    y = jnp.array([1.0, 1.0, -1.0, -1.0])
+    areas, gap_mask = ops.trap_around_zeros(x, y, log_x=False)
+    area = np.asarray(areas['area'])
+    pos = np.asarray(areas['x'])
+    # Before rectangle: height y/2 = .5, width |1 - 1.5| = .5 -> .25 at x 1.25
+    # After rectangle: height -.5, width .5 -> -.25 at x 1.75
+    valid = ~np.isnan(area)
+    assert valid.sum() == 2
+    assert_array_almost_equal(np.sort(area[valid]), [-0.25, 0.25], 12)
+    assert_array_almost_equal(np.sort(pos[valid]), [1.25, 1.75], 12)
+    assert_array_almost_equal(np.asarray(gap_mask), [True, False, True])
+
+
+def test_insert_level_golden():
+    # reference: modules/unit_tests.py:1388-1411 (test_insert_level)
+    fields = {
+        'pressure': jnp.array([[1000.0, 900.0, 800.0, 700.0],
+                               [1000.0, 900.0, 800.0, 700.0]]),
+        'temperature': jnp.ones((2, 4)),
+    }
+    level = {'pressure': jnp.array([1000.0, 600.0]),
+             'temperature': jnp.array([1.5, 2.0])}
+    res = ops.insert_level(fields, level)
+    assert_array_almost_equal(np.asarray(res['pressure']),
+                              [[1000, 1000, 900, 800, 700],
+                               [1000, 900, 800, 700, 600]])
+    assert_array_almost_equal(np.asarray(res['temperature']),
+                              [[1, 1.5, 1, 1, 1], [1, 1, 1, 1, 2]])
+
+
+def test_insert_level_nan_handling():
+    fields = {
+        'pressure': jnp.array([1000.0, 900.0, jnp.nan, jnp.nan]),
+        'temperature': jnp.array([1.0, 2.0, 3.0, 4.0]),
+    }
+    level = {'pressure': 950.0, 'temperature': 9.0}
+    res = ops.insert_level(fields, level)
+    assert_array_almost_equal(np.asarray(res['pressure']),
+                              [1000.0, 950.0, 900.0, np.nan, np.nan])
+    # values at NaN-pressure slots are NaN'd (fill round-trip semantics)
+    assert_array_almost_equal(np.asarray(res['temperature']),
+                              [1.0, 9.0, 2.0, np.nan, np.nan])
+    # NaN insertion coord floods with level values
+    res2 = ops.insert_level(fields, {'pressure': jnp.nan,
+                                     'temperature': jnp.nan})
+    assert np.all(np.isnan(np.asarray(res2['pressure'])))
+    assert np.all(np.isnan(np.asarray(res2['temperature'])))
+
+
+def test_compact_left():
+    fields = {
+        'pressure': jnp.array([[jnp.nan, jnp.nan, 800.0, 700.0],
+                               [1000.0, 900.0, 800.0, 700.0]]),
+        'temperature': jnp.array([[jnp.nan, jnp.nan, 3.0, 4.0],
+                                  [1.0, 2.0, 3.0, 4.0]]),
+    }
+    out = ops.compact_left(fields, 'pressure')
+    assert_array_almost_equal(np.asarray(out['pressure']),
+                              [[800, 700, np.nan, np.nan],
+                               [1000, 900, 800, 700]])
+    assert_array_almost_equal(np.asarray(out['temperature']),
+                              [[3, 4, np.nan, np.nan], [1, 2, 3, 4]])
+
+
+def test_bound_pressure():
+    p = jnp.array([1000.0, 900.0, 800.0, 700.0])
+    assert_almost_equal(float(ops.bound_pressure(p, 850.0)), 900.0, 12)  # tie -> larger
+    assert_almost_equal(float(ops.bound_pressure(p, 840.0)), 800.0, 12)
+    assert_almost_equal(float(ops.bound_pressure(p, 860.0)), 900.0, 12)
+
+
+def test_get_layer():
+    fields = {'pressure': jnp.array([1000.0, 900.0, 800.0, 700.0]),
+              'temperature': jnp.array([20.0, 15.0, 10.0, 5.0])}
+    layer = ops.get_layer(fields, depth=150.0)
+    p = np.asarray(layer['pressure'])
+    t = np.asarray(layer['temperature'])
+    # inserted top at 850 hPa, levels below 850 NaN-masked
+    assert_array_almost_equal(p, [1000.0, 900.0, 850.0, np.nan, np.nan])
+    assert_almost_equal(t[2],
+                        15.0 - 5.0 * (np.log(850/900) / np.log(800/900)), 10)
+    # no-interpolation variant snaps to the nearest level
+    layer2 = ops.get_layer(fields, depth=160.0, interpolate=False)
+    assert_array_almost_equal(np.asarray(layer2['pressure']),
+                              [1000.0, 900.0, 800.0, np.nan])
+
+
+def test_ops_jit_and_vmap():
+    x = jnp.linspace(0.0, 3.0, 4)
+    y = jnp.array([1.0, 1.0, -1.0, -1.0])
+
+    @jax.jit
+    def f(x, y):
+        areas, mask = ops.trap_around_zeros(x, y, log_x=False)
+        return ops.nansum(areas['area']) + ops.trapz(y, x, mask=mask)
+
+    batch = jax.vmap(f, in_axes=(None, 0))(x, jnp.stack([y, -y]))
+    assert batch.shape == (2,)
+    assert_almost_equal(float(f(x, y)), float(batch[0]), 12)

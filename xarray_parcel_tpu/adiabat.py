@@ -1,0 +1,357 @@
+"""Moist (pseudo)adiabat engine: on-device RK4 integrator + lookup tables.
+
+This replaces three reference components at once:
+
+* MetPy's scipy-ODE ``moist_lapse`` (the reference's per-curve oracle);
+* the reference's offline table builder ``moist_adiabat_lookup``
+  (reference: modules/parcel_functions.py:447-523) — 14,300 pseudoadiabat
+  curves at 0.01 K start-temperature spacing over 2,196 pressure levels
+  (1100 → 2.5 hPa, 0.5 hPa step), plus a (pressure, temperature) → curve
+  index lookup;
+* the table consumer ``moist_lapse`` (reference: :525-607), whose hot inner
+  loop was a numba gufunc ``np.interp`` over the gathered curve.
+
+TPU-first redesign:
+  * the curves are generated on device by a ``lax.scan`` RK4 integrator in
+    log-pressure (replacing the failed Euler path in
+    reference: modules/moist_lapse_analytic.py), on a statically refined grid
+    so every interval's local error is negligible;
+  * both table axes are uniform, so the (p, T) → curve "nearest" lookup and
+    the curve interpolation collapse to pure index arithmetic + gathers — no
+    searchsorted, no data-dependent shapes, everything fuses under XLA;
+  * the curve-index table is built by inverse interpolation over the (strictly
+    monotone in curve index) curve temperatures at each pressure, which is the
+    exact form of the reference's two-pass rounding fill;
+  * ``moist_lapse_integrate`` integrates the ODE directly per query — the
+    test oracle, playing the role of the reference's
+    ``metpy_moist_lapse`` monkeypatch (reference: modules/unit_tests.py:114).
+
+Tables are plain pytrees (device-resident, donated once), not module
+globals — though a module-level default is kept for API parity with the
+reference's ``load_moist_adiabat_lookups`` (reference:
+modules/parcel_functions.py:39-61).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as c
+from .thermo import moist_lapse_rate
+
+# Reference table grid (reference: modules/parcel_functions.py:447-451).
+P_TOP = 1100.0          # hPa, start of every curve (highest pressure)
+P_BOT = 2.5             # hPa, lowest pressure
+P_STEP = 0.5            # hPa
+N_PRES = int(round((P_TOP - P_BOT) / P_STEP)) + 1     # 2196
+T_MIN = 173.0           # K
+T_MAX_EXCL = 316.0      # K (exclusive, arange semantics)
+T_STEP = 0.02           # K
+N_TEMP = int(round((T_MAX_EXCL - T_MIN) / T_STEP))    # 7150
+N_CURVES = 2 * N_TEMP                                  # 14300 (offsets 0, 0.01)
+CURVE_OFFSET = T_STEP / 2.0
+
+# RK4 refinement: max log-pressure step per substep.  ln(1100/2.5) ~ 6.09
+# total; 2e-3 per step keeps local truncation error far below fp32 epsilon.
+MAX_DLOGP = 2e-3
+
+
+def pressure_grid(dtype=jnp.float64):
+    """The descending uniform pressure grid [1100, 1099.5, …, 2.5] hPa."""
+    return jnp.asarray(np.round(np.arange(1100.0, 2.0, -0.5), 1), dtype=dtype)
+
+
+def curve_start_temperatures(dtype=jnp.float64):
+    """Start temperature (at 1100 hPa) of each of the 14,300 curves."""
+    base = np.round(np.arange(T_MIN, T_MAX_EXCL, T_STEP), 2)
+    starts = np.stack([base, base + CURVE_OFFSET], axis=1).reshape(-1)
+    return jnp.asarray(starts, dtype=dtype)
+
+
+def _refined_grid():
+    """Static integration grid: the output pressure grid with each interval
+    subdivided so every RK4 substep has |dlog p| <= MAX_DLOGP.
+
+    Returns (log-pressure grid ascending in integration order (descending p),
+    indices of the output pressures within it).  Host-side, static shapes.
+    """
+    p_out = np.round(np.arange(1100.0, 2.0, -0.5), 1)
+    logp = np.log(p_out)
+    pts = [logp[0]]
+    out_idx = [0]
+    for k in range(len(logp) - 1):
+        a, b = logp[k], logp[k + 1]
+        n_sub = max(1, int(np.ceil(abs(b - a) / MAX_DLOGP)))
+        seg = np.linspace(a, b, n_sub + 1)[1:]
+        pts.extend(seg.tolist())
+        out_idx.append(len(pts) - 1)
+    return np.asarray(pts), np.asarray(out_idx)
+
+
+def rk4_step(logp, dlogp, t):
+    """One RK4 step of dT/dlnp = p * moist_lapse_rate(p, T)."""
+    def f(lp, tt):
+        p = jnp.exp(lp)
+        return p * moist_lapse_rate(p, tt)
+
+    k1 = f(logp, t)
+    k2 = f(logp + dlogp / 2, t + dlogp * k1 / 2)
+    k3 = f(logp + dlogp / 2, t + dlogp * k2 / 2)
+    k4 = f(logp + dlogp, t + dlogp * k3)
+    return t + (dlogp / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+@functools.partial(jax.jit, static_argnames=('n_substeps',))
+def integrate_between(t0, logp0, logp1, n_substeps=16):
+    """Integrate T from log-pressure logp0 to logp1 with fixed RK4 substeps.
+
+    Elementwise over arbitrary batch shapes; a zero interval is exact.
+    """
+    h = (logp1 - logp0) / n_substeps
+
+    def body(i, t):
+        return rk4_step(logp0 + i * h, h, t)
+
+    return jax.lax.fori_loop(0, n_substeps, body, t0)
+
+
+def generate_curves(dtype=jnp.float32):
+    """Generate the full adiabat family on device via one lax.scan.
+
+    Returns (N_CURVES, N_PRES): temperature of every curve at every output
+    pressure.  The scan walks the statically refined log-pressure grid; the
+    output grid points are gathered afterwards.
+    """
+    grid, out_idx = _refined_grid()
+    grid = jnp.asarray(grid, dtype=dtype)
+    t0 = curve_start_temperatures(dtype)
+
+    def step(t, seg):
+        lp0, lp1 = seg
+        t_new = rk4_step(lp0, lp1 - lp0, t)
+        return t_new, t_new
+
+    segs = jnp.stack([grid[:-1], grid[1:]], axis=1)
+    _, ts = jax.lax.scan(step, t0, segs)            # (n_steps, N_CURVES)
+    all_t = jnp.concatenate([t0[None], ts], axis=0)  # include start point
+    curves = all_t[jnp.asarray(out_idx)]             # (N_PRES, N_CURVES)
+    return curves.T                                  # (N_CURVES, N_PRES)
+
+
+def build_lookup(curves):
+    """Build the (pressure, temperature) -> nearest curve index table.
+
+    For each pressure-grid index the curve temperatures ``curves[:, ip]`` are
+    strictly increasing in curve index (pseudoadiabats do not cross), so the
+    nearest curve at a (p, T) cell is found by inverse interpolation — the
+    exact form of the reference's two-pass rounding fill
+    (reference: modules/parcel_functions.py:478-504).  Cells outside the curve
+    family's temperature envelope (beyond half a temperature step) get -1
+    (the reference leaves them NaN; consumers re-NaN them).
+
+    Returns int32 (N_PRES, N_TEMP).
+    """
+    tq = T_MIN + T_STEP * jnp.arange(N_TEMP, dtype=curves.dtype)
+
+    def per_pressure(col):
+        # col: (N_CURVES,) increasing. Nearest index for each query temp.
+        hi = jnp.searchsorted(col, tq, side='left')
+        hi = jnp.clip(hi, 1, col.shape[0] - 1)
+        lo = hi - 1
+        pick_hi = (col[hi] - tq) < (tq - col[lo])
+        idx = jnp.where(pick_hi, hi, lo)
+        dist = jnp.abs(col[idx] - tq)
+        valid = dist <= (T_STEP / 2.0 + 1e-9)
+        return jnp.where(valid, idx, -1).astype(jnp.int32)
+
+    return jax.lax.map(per_pressure, curves.T, batch_size=128)
+
+
+class AdiabatTables:
+    """Device-resident moist-adiabat tables (a pytree of two arrays).
+
+    ``curves``: (N_CURVES, N_PRES) float — curve temperature by pressure.
+    ``lookup``: (N_PRES, N_TEMP) int32 — nearest curve at a (p, T) cell, -1
+    where no curve passes.
+    """
+
+    def __init__(self, curves, lookup):
+        self.curves = curves
+        self.lookup = lookup
+
+    def tree_flatten(self):
+        return (self.curves, self.lookup), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def build(cls, dtype=jnp.float32):
+        curves = generate_curves(dtype=dtype)
+        return cls(curves, build_lookup(curves))
+
+    def astype(self, dtype):
+        return AdiabatTables(self.curves.astype(dtype), self.lookup)
+
+    def save(self, path):
+        np.savez_compressed(path, curves=np.asarray(self.curves),
+                            lookup=np.asarray(self.lookup))
+
+    @classmethod
+    def load(cls, path, dtype=None):
+        with np.load(path) as f:
+            curves = jnp.asarray(f['curves'],
+                                 dtype=dtype or f['curves'].dtype)
+            lookup = jnp.asarray(f['lookup'])
+        return cls(curves, lookup)
+
+
+jax.tree_util.register_pytree_node_class(AdiabatTables)
+
+# Module-level default tables — API parity with the reference's
+# load_moist_adiabat_lookups/module singletons (reference:
+# modules/parcel_functions.py:18-61), but functions also accept explicit
+# tables for jit-friendly threading.
+_DEFAULT_TABLES = None
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'adiabat_lookups', 'adiabat_tables.npz')
+
+
+def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
+                               dtype=None):
+    """Load (or build and cache) the default adiabat tables."""
+    global _DEFAULT_TABLES
+    path = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE',
+                                        _DEFAULT_CACHE)
+    if not regenerate and os.path.exists(path):
+        _DEFAULT_TABLES = AdiabatTables.load(path, dtype=dtype)
+        return _DEFAULT_TABLES
+    build_dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                            else jnp.float32)
+    _DEFAULT_TABLES = AdiabatTables.build(dtype=build_dtype)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _DEFAULT_TABLES.save(path)
+    return _DEFAULT_TABLES
+
+
+def default_tables():
+    if _DEFAULT_TABLES is None:
+        raise RuntimeError('Call load_moist_adiabat_lookups() first, or pass '
+                           'tables= explicitly.')
+    return _DEFAULT_TABLES
+
+
+def _curve_index(tables, parcel_pressure, parcel_temperature):
+    """Nearest-cell curve lookup for parcel state (clamped at grid edges,
+    matching xarray .sel(method='nearest') in the reference :554-557)."""
+    ip = jnp.clip(jnp.round((P_TOP - parcel_pressure) / P_STEP),
+                  0, N_PRES - 1).astype(jnp.int32)
+    it = jnp.clip(jnp.round((parcel_temperature - T_MIN) / T_STEP),
+                  0, N_TEMP - 1).astype(jnp.int32)
+    return tables.lookup[ip, it]
+
+
+def _interp_curve(tables, idx, pressure):
+    """Interpolate curve ``idx`` at ``pressure`` — pure index arithmetic on
+    the uniform grid (the reference needed a numba gufunc here)."""
+    fi = (P_TOP - pressure) / P_STEP
+    i0 = jnp.clip(jnp.floor(fi), 0, N_PRES - 2).astype(jnp.int32)
+    t = fi - i0
+    idx_b = idx[..., None] if idx.ndim < pressure.ndim else idx
+    c0 = tables.curves[idx_b, i0]
+    c1 = tables.curves[idx_b, i0 + 1]
+    return c0 * (1.0 - t) + c1 * t
+
+
+def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
+                tables=None):
+    """Temperature of parcels lifted moist-adiabatically, via lookup tables.
+
+    ``pressure``: (…, L) levels to lift to (or (…) for pointwise use);
+    ``parcel_temperature`` / ``parcel_pressure``: (…) parcel start state
+    (parcel_pressure defaults to the first level,
+    reference: modules/parcel_functions.py:549-550).
+
+    NaN-faithful to the reference (:570-605): invalid parcels, out-of-table
+    parcels, and out-of-range level pressures all give NaN.
+    """
+    if tables is None:
+        tables = default_tables()
+    pressure = jnp.asarray(pressure)
+    pointwise = parcel_temperature is not None and (
+        jnp.ndim(parcel_temperature) == pressure.ndim)
+    if parcel_pressure is None:
+        parcel_pressure = pressure[..., 0]
+    parcel_temperature = jnp.asarray(parcel_temperature)
+    parcel_pressure = jnp.asarray(parcel_pressure)
+
+    idx = _curve_index(tables, parcel_pressure, parcel_temperature)
+    valid = (idx >= 0) & ~jnp.isnan(parcel_temperature) & \
+        ~jnp.isnan(parcel_pressure)
+    idx = jnp.where(valid, idx, 0)
+
+    safe_p = jnp.where(jnp.isnan(pressure), P_TOP, pressure)
+    if pointwise:
+        out = _interp_curve(tables, idx[..., None],
+                            safe_p[..., None])[..., 0]
+    else:
+        out = _interp_curve(tables, idx, safe_p)
+
+    in_range = (pressure >= P_BOT) & (pressure <= P_TOP)
+    ok = in_range & ~jnp.isnan(pressure)
+    if not pointwise:
+        ok = ok & valid[..., None]
+    else:
+        ok = ok & valid
+    return jnp.where(ok, out, jnp.nan)
+
+
+def moist_lapse_integrate(pressure, parcel_temperature, parcel_pressure=None,
+                          n_substeps=32, tables=None):
+    """Direct RK4 integration per query — the accuracy oracle.
+
+    Walks the requested levels sequentially from the parcel state (level to
+    level along the same pseudoadiabat), NaN-skipping, like MetPy's odeint
+    path that the reference monkeypatches in for exact unit testing
+    (reference: modules/unit_tests.py:114-140).  ``tables`` is accepted and
+    ignored so it is signature-compatible with ``moist_lapse``.
+    """
+    pressure = jnp.asarray(pressure)
+    pointwise = parcel_temperature is not None and (
+        jnp.ndim(parcel_temperature) == pressure.ndim)
+    if pointwise:
+        levels = pressure[..., None]
+    else:
+        levels = pressure
+    if parcel_pressure is None:
+        parcel_pressure = levels[..., 0]
+    t0 = jnp.broadcast_to(jnp.asarray(parcel_temperature, levels.dtype),
+                          levels.shape[:-1]).astype(levels.dtype)
+    p0 = jnp.broadcast_to(jnp.asarray(parcel_pressure, levels.dtype),
+                          levels.shape[:-1]).astype(levels.dtype)
+    levels = jnp.broadcast_to(levels, t0.shape + levels.shape[-1:])
+
+    start_valid = ~jnp.isnan(t0) & ~jnp.isnan(p0)
+    lp0 = jnp.log(jnp.where(start_valid, p0, P_TOP))
+    t_start = jnp.where(start_valid, t0, 273.15)
+
+    def step(carry, p_k):
+        t_cur, lp_cur = carry
+        valid = ~jnp.isnan(p_k) & (p_k > 0)
+        lp_new = jnp.where(valid, jnp.log(jnp.where(valid, p_k, 1.0)), lp_cur)
+        t_new = integrate_between(t_cur, lp_cur, lp_new,
+                                  n_substeps=n_substeps)
+        out = jnp.where(valid, t_new, jnp.nan)
+        return (t_new, lp_new), out
+
+    (_, _), outs = jax.lax.scan(step, (t_start, lp0),
+                                jnp.moveaxis(levels, -1, 0))
+    out = jnp.moveaxis(outs, 0, -1)
+    out = jnp.where(start_valid[..., None], out, jnp.nan)
+    if pointwise:
+        out = out[..., 0]
+    return out

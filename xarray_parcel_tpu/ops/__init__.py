@@ -1,0 +1,18 @@
+"""Generic vertical-column array ops (the reference's L2 layer, TPU-native).
+
+All ops act along the last axis (the vertical level axis), are fixed-shape,
+NaN-aware, and jit/vmap-safe.
+"""
+
+from .reduce import nanmax, nanmin, nansum, nanmean, nancount, any_valid
+from .interp import linear_interp, log_interp, interp1d
+from .intersect import find_intersections
+from .integrate import trapz, trap_around_zeros
+from .levels import insert_level, compact_left, bound_pressure, get_layer
+
+__all__ = [
+    'nanmax', 'nanmin', 'nansum', 'nanmean', 'nancount', 'any_valid',
+    'linear_interp', 'log_interp', 'interp1d',
+    'find_intersections', 'trapz', 'trap_around_zeros',
+    'insert_level', 'compact_left', 'bound_pressure', 'get_layer',
+]

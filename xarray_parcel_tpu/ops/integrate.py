@@ -1,0 +1,102 @@
+"""Trapezoidal vertical integration and zero-crossing rectangle areas.
+
+TPU-native reformulation of the reference's ``trapz`` and
+``trap_around_zeros`` (reference: modules/parcel_functions.py:164-206,
+1200-1289), used by the CAPE/CIN integrator: the trapezoid sum covers whole
+gaps, and rectangle areas are added around every zero crossing of the
+parcel-environment temperature difference so buoyancy area is integrated
+exactly up to the crossing, with a gap mask preventing double counting.
+
+Everything is fixed-shape: a column of L levels has L-1 gaps; crossings are
+indexed by gap and NaN-marked when absent.
+"""
+
+import jax.numpy as jnp
+
+from .intersect import find_intersections
+from .reduce import nansum
+
+
+def trapz(y, x, mask=None, only_positive=False, only_negative=False):
+    """NaN-skipping trapezoidal integral of ``y`` against ``x`` along axis -1.
+
+    ``mask`` (…, L-1) selects which gaps contribute; ``only_positive`` /
+    ``only_negative`` keep only gaps whose area has that sign (used for the
+    reference's pos-CAPE / neg-CIN convention,
+    reference: modules/parcel_functions.py:194-206, 1358-1380).
+    Matches xarray ``.sum`` semantics: NaN gaps are skipped, an empty
+    selection integrates to 0.
+    """
+    assert not (only_positive and only_negative)
+    dx = jnp.abs(x[..., 1:] - x[..., :-1])
+    means = 0.5 * (y[..., 1:] + y[..., :-1])
+    areas = dx * means
+    if mask is not None:
+        areas = jnp.where(mask, areas, jnp.nan)
+    if only_positive:
+        areas = jnp.where(areas > 0, areas, jnp.nan)
+    if only_negative:
+        areas = jnp.where(areas < 0, areas, jnp.nan)
+    return nansum(areas)
+
+
+def trap_around_zeros(x, y, log_x=True, start=0):
+    """Rectangle areas hugging each zero crossing of ``y`` along ``x``.
+
+    For every gap with a zero crossing of ``y``, two rectangles are produced:
+    one between the level *before* the crossing and the crossing, and one
+    between the crossing and the level *after* — each with height y/2 at the
+    bounding level (mean of y and 0), mirroring the reference's
+    ``calc_areas`` (reference: modules/parcel_functions.py:1246-1273).
+
+    Returns ``(areas, gap_mask)``:
+      * areas: dict with 'area', 'x', 'dx', 'x_from', 'x_to', each
+        (…, 2*(L-start-1)) — the before-rectangles then the after-rectangles,
+        NaN where no crossing.  Positions are in log-x space when ``log_x``
+        (the caller exponentiates, as the reference's cape_cin_base does).
+      * gap_mask: (…, L-1) boolean — False for gaps containing a crossing,
+        for use as the trapz mask (no double counting).
+    """
+    xs = x[..., start:] if start else x
+    ys = y[..., start:] if start else y
+
+    ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x)
+    zx = jnp.log(ints['all_x']) if log_x else ints['all_x']
+    zy = ints['all_y']
+    crossing = ~jnp.isnan(zy)
+
+    xl = jnp.log(xs) if log_x else xs
+
+    def rects(point_x, point_y):
+        dx = point_x - zx
+        area = (point_y / 2.0) * jnp.abs(dx)
+        pos = point_x - dx / 2.0
+        keep = crossing
+        return (jnp.where(keep, area, jnp.nan),
+                jnp.where(keep, pos, jnp.nan),
+                jnp.where(keep, jnp.abs(dx), jnp.nan))
+
+    # Before-rectangles anchor at level k of gap k; after-rectangles at k+1.
+    area_b, pos_b, dx_b = rects(xl[..., :-1], ys[..., :-1])
+    area_a, pos_a, dx_a = rects(xl[..., 1:], ys[..., 1:])
+
+    area = jnp.concatenate([area_b, area_a], axis=-1)
+    pos = jnp.concatenate([pos_b, pos_a], axis=-1)
+    dx = jnp.concatenate([dx_b, dx_a], axis=-1)
+
+    areas = {
+        'area': area,
+        'x': pos,
+        'dx': dx,
+        'x_from': pos - dx / 2.0,
+        'x_to': pos + dx / 2.0,
+    }
+
+    n_gaps = x.shape[-1] - 1
+    gap_mask = jnp.ones(jnp.broadcast_shapes(x.shape, y.shape), bool)[..., 1:]
+    if start:
+        gap_mask = gap_mask.at[..., start:].set(~crossing)
+    else:
+        gap_mask = ~crossing
+    assert gap_mask.shape[-1] == n_gaps
+    return areas, gap_mask

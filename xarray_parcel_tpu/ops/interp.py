@@ -1,0 +1,103 @@
+"""Vertical interpolation primitives (level axis = -1).
+
+Replaces, TPU-natively, two components of the reference:
+
+* ``linear_interp`` / ``log_interp`` — duplicate-aware single-target
+  interpolation along the vertical axis
+  (reference: modules/parcel_functions.py:1758-1828), reproduced with
+  identical selection rules (nearest enclosing coords, duplicate-coordinate
+  averaging, exact-match passthrough, optional two-point extrapolation).
+
+* ``interp1d`` — the reference's single native kernel, a numba ``guvectorize``
+  per-column ``np.interp`` (reference: modules/parcel_functions.py:23-37),
+  rebuilt as a vectorised searchsorted+gather that XLA fuses on device.  The
+  moist-adiabat hot path does not even need this general form: its pressure
+  grid is uniform, so interpolation reduces to index arithmetic
+  (see adiabat.py).
+"""
+
+import jax.numpy as jnp
+
+from .reduce import nanmax, nanmin, nanmean
+
+
+def linear_interp(x, coords, at, extrapolate=False):
+    """Interpolate ``x`` (…, L) at per-column target ``at`` (…) given
+    per-level ``coords`` (…, L).
+
+    Matches the reference's semantics exactly:
+      * anchor coords are the closest coord >= at and the closest <= at;
+      * duplicate anchor coords average their values;
+      * if both anchors have equal values the value passes through unchanged;
+      * out-of-range targets give NaN unless ``extrapolate`` (then the two
+        outermost distinct coords define the extrapolation line).
+    """
+    at = jnp.asarray(at)
+    atb = at[..., None]
+
+    coords_before = nanmin(coords, where=coords >= atb)
+    coords_after = nanmax(coords, where=coords <= atb)
+
+    if extrapolate:
+        extrap_below = jnp.isnan(coords_before)
+        extrap_above = jnp.isnan(coords_after)
+
+        # Second largest / second smallest coordinate values (duplicate
+        # min/max coords are ignored, as in the reference).
+        cmax = nanmax(coords)
+        cmin = nanmin(coords)
+        second_lowest = nanmax(coords, where=coords != cmax[..., None])
+        second_highest = nanmin(coords, where=coords != cmin[..., None])
+
+        coords_before = jnp.where(extrap_below, coords_after, coords_before)
+        coords_after = jnp.where(extrap_below, second_lowest, coords_after)
+
+        coords_after = jnp.where(extrap_above, coords_before, coords_after)
+        coords_before = jnp.where(extrap_above, second_highest, coords_before)
+
+    x_before = nanmean(x, where=coords == coords_before[..., None])
+    x_after = nanmean(x, where=coords == coords_after[..., None])
+
+    res = x_before + (x_after - x_before) * ((at - coords_before) /
+                                             (coords_after - coords_before))
+    return jnp.where(x_before == x_after, x_before, res)
+
+
+def log_interp(x, coords, at, extrapolate=False):
+    """``linear_interp`` on log-transformed coordinates (log-pressure
+    interpolation; reference: modules/parcel_functions.py:1813-1828)."""
+    return linear_interp(x, jnp.log(coords), jnp.log(jnp.asarray(at)),
+                         extrapolate=extrapolate)
+
+
+def interp1d(at, xp, fp):
+    """Per-column linear interpolation, ``np.interp`` semantics.
+
+    ``at``: query points (…, M); ``xp``: monotonically increasing knots
+    (…, N); ``fp``: knot values (…, N).  Out-of-range queries clamp to the end
+    values (np.interp default), NaN queries give NaN.  This is the TPU
+    equivalent of the reference's numba gufunc
+    (reference: modules/parcel_functions.py:23-37, consumed at :585-592).
+    """
+    import jax
+
+    batch = jnp.broadcast_shapes(at.shape[:-1], xp.shape[:-1], fp.shape[:-1])
+    at = jnp.broadcast_to(at, batch + at.shape[-1:])
+    xp = jnp.broadcast_to(xp, batch + xp.shape[-1:])
+    fp = jnp.broadcast_to(fp, batch + fp.shape[-1:])
+    flat_at = at.reshape((-1, at.shape[-1]))
+    flat_xp = xp.reshape((-1, xp.shape[-1]))
+    idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side='left'))(
+        flat_xp, flat_at).reshape(at.shape)
+    hi = jnp.clip(idx, 1, xp.shape[-1] - 1)
+    lo = hi - 1
+    x0 = jnp.take_along_axis(xp, lo, axis=-1)
+    x1 = jnp.take_along_axis(xp, hi, axis=-1)
+    f0 = jnp.take_along_axis(fp, lo, axis=-1)
+    f1 = jnp.take_along_axis(fp, hi, axis=-1)
+    t = (at - x0) / (x1 - x0)
+    out = f0 + t * (f1 - f0)
+    # np.interp clamps outside the knot range.
+    out = jnp.where(at <= xp[..., :1], fp[..., :1], out)
+    out = jnp.where(at >= xp[..., -1:], fp[..., -1:], out)
+    return jnp.where(jnp.isnan(at), jnp.nan, out)

@@ -1,0 +1,67 @@
+"""Piecewise-linear curve intersection finder (level axis = -1).
+
+TPU-native reformulation of the reference's ``find_intersections``
+(reference: modules/parcel_functions.py:992-1064).  The reference builds the
+crossing set with xarray shift/concat index gymnastics; here each potential
+crossing lives in gap k (between levels k and k+1), giving fixed-shape
+(…, L-1) outputs with NaN marking "no crossing" — directly consumable by the
+NaN-aware reductions in the LFC/EL solver.
+"""
+
+import jax.numpy as jnp
+
+
+def find_intersections(x, a, b, log_x=False):
+    """Find crossings of curves ``a`` and ``b`` sharing coords ``x`` (…, L).
+
+    Returns a dict of (…, L-1) arrays: ``all_x``/``all_y`` (every crossing),
+    ``increasing_x``/``increasing_y`` (a crosses above b) and
+    ``decreasing_x``/``decreasing_y``.  Entry k describes the crossing in gap
+    (k, k+1); NaN where there is none.  Matches the reference's convention of
+    reporting the crossing at the *after* index, including its handling of
+    exact touches (sign hits 0) and NaN-poisoned gaps.
+    """
+    if log_x:
+        x = jnp.log(x)
+
+    sign = jnp.sign(a - b)
+    s0 = sign[..., :-1]
+    s1 = sign[..., 1:]
+    # A NaN sign difference is treated as a crossing by the reference
+    # (diffs.where(diffs == 0, other=1) maps NaN -> 1); the algebra below then
+    # yields NaN coordinates, which downstream reductions skip — identical
+    # net behaviour, so a plain != (True for NaN pairs) reproduces it.
+    crossing = s0 != s1
+
+    x0, x1 = x[..., :-1], x[..., 1:]
+    a0, a1 = a[..., :-1], a[..., 1:]
+    b0, b1 = b[..., :-1], b[..., 1:]
+
+    delta_y0 = a0 - b0
+    delta_y1 = a1 - b1
+    intersect_x = (delta_y1 * x0 - delta_y0 * x1) / (delta_y1 - delta_y0)
+    intersect_y = ((intersect_x - x0) / (x1 - x0)) * (a1 - a0) + a0
+
+    nan = jnp.nan
+    intersect_x = jnp.where(crossing, intersect_x, nan)
+    intersect_y = jnp.where(crossing, intersect_y, nan)
+
+    if log_x:
+        out_x = jnp.exp(intersect_x)
+    else:
+        out_x = intersect_x
+
+    # Direction of the crossing, evaluated at the after point (reference
+    # :1030-1031): sign(a1 - b1) where a crossing occurred.
+    sign_change = jnp.where(crossing, s1, nan)
+
+    inc = sign_change > 0
+    dec = sign_change < 0
+    return {
+        'all_x': out_x,
+        'all_y': intersect_y,
+        'increasing_x': jnp.where(inc, out_x, nan),
+        'increasing_y': jnp.where(inc, intersect_y, nan),
+        'decreasing_x': jnp.where(dec, out_x, nan),
+        'decreasing_y': jnp.where(dec, intersect_y, nan),
+    }

@@ -1,0 +1,131 @@
+"""Fixed-shape vertical level manipulation (level axis = -1).
+
+The reference performs dynamic-shape level surgery with xarray reindexing:
+``insert_level`` splices a per-column level (e.g. the LCL) into a sorted
+profile via broadcast shift/fill (reference: modules/parcel_functions.py:
+933-990), and ``shift_out_nans`` compacts leading NaNs with a Python loop of
+whole-array shifts (:1699-1720).  Under jit both become static-shape gathers:
+a column of L levels inserts into L+1 slots at a computed position, and
+compaction is a per-column index offset.
+
+Fields are dicts of arrays broadcastable to (…, L); per-column scalars are
+(…).  NaN is the universal missing-value sentinel, and pressure acts as the
+sort coordinate (strictly decreasing with level, NaNs trailing).
+"""
+
+import jax.numpy as jnp
+
+from .interp import log_interp, linear_interp
+from .reduce import nanmax, nanmin
+
+
+def _broadcast_fields(fields, coord='pressure'):
+    """Broadcast all field arrays against each other to (…, L)."""
+    shape = jnp.broadcast_shapes(*(jnp.shape(v) for v in fields.values()))
+    return {k: jnp.broadcast_to(v, shape) for k, v in fields.items()}
+
+
+def insert_level(fields, level, coord='pressure'):
+    """Insert a per-column level into pressure-sorted profiles.
+
+    ``fields``: dict of (…, L) arrays including ``coord``; ``level``: dict of
+    (…) per-column values for (a subset of) the same keys, including
+    ``coord``.  Returns a dict with keys of ``level`` and L+1 levels.
+
+    Semantics match the reference exactly (reference:
+    modules/parcel_functions.py:933-990):
+      * levels with coord >= the new coord stay below it (so a duplicate of an
+        existing coordinate is inserted *above* the existing one);
+      * levels whose coord is NaN count as above (the reference's -999 fill)
+        and all their variables come out NaN;
+      * a NaN insertion coord floods the whole column with the level's values
+        (all-NaN in practice).
+    """
+    fields = _broadcast_fields({k: fields[k] for k in level}, coord)
+    p = fields[coord]
+    pl = jnp.asarray(level[coord])
+    L = p.shape[-1]
+
+    p_filled = jnp.where(jnp.isnan(p), -jnp.inf, p)
+    idx = jnp.sum(p_filled >= pl[..., None], axis=-1)          # (…,) in [0, L]
+
+    j = jnp.arange(L + 1)
+    below = j < idx[..., None]                                  # (…, L+1)
+    at = j == idx[..., None]
+    src = jnp.clip(jnp.where(below, j, j - 1), 0, L - 1)
+    src = jnp.broadcast_to(src, p.shape[:-1] + (L + 1,))
+
+    out = {}
+    for k in level:
+        g = jnp.take_along_axis(fields[k], src, axis=-1)
+        g = jnp.where(at, jnp.asarray(level[k])[..., None], g)
+        out[k] = g
+
+    # Variables at slots sourced from NaN-coordinate levels become NaN
+    # (the reference's fill_value round-trip NaNs the whole slot).
+    slot_nan = jnp.isnan(out[coord]) & ~at
+    for k in out:
+        if k != coord:
+            out[k] = jnp.where(slot_nan, jnp.nan, out[k])
+
+    # NaN insertion coordinate: reference floods the column with the level.
+    flood = jnp.isnan(pl)[..., None]
+    for k in out:
+        out[k] = jnp.where(flood, jnp.asarray(level[k])[..., None], out[k])
+    return out
+
+
+def compact_left(fields, key, count_key_only=True):
+    """Shift every column left to drop its leading NaNs in ``fields[key]``.
+
+    Vacated trailing slots are NaN.  Equivalent to the reference's
+    ``shift_out_nans`` loop (reference: modules/parcel_functions.py:1699-1720)
+    without the O(L) whole-array passes.
+    """
+    fields = _broadcast_fields(fields)
+    v = fields[key]
+    L = v.shape[-1]
+    valid = ~jnp.isnan(v)
+    lead = jnp.argmax(valid, axis=-1)                  # 0 if all-NaN (harmless)
+    j = jnp.arange(L)
+    src = j + lead[..., None]
+    in_range = src <= L - 1
+    src = jnp.clip(src, 0, L - 1)
+    out = {}
+    for k, arr in fields.items():
+        g = jnp.take_along_axis(arr, src, axis=-1)
+        out[k] = jnp.where(in_range, g, jnp.nan)
+    return out
+
+
+def bound_pressure(pressure, bound):
+    """Closest pressure level to ``bound``; ties take the larger pressure
+    (reference: modules/parcel_functions.py:208-227)."""
+    diffs = jnp.abs(pressure - jnp.asarray(bound)[..., None])
+    min_diff = nanmin(diffs)
+    return nanmax(pressure, where=diffs == min_diff[..., None])
+
+
+def get_layer(fields, depth=100.0, interpolate=True, coord='pressure'):
+    """Surface-based layer of the given pressure depth [hPa].
+
+    With ``interpolate`` the layer top is log-interpolated and inserted as a
+    new level (output has L+1 levels); otherwise the top snaps to the nearest
+    existing level (output keeps L levels).  Levels outside the layer are
+    NaN-masked (reference: modules/parcel_functions.py:63-100).
+    """
+    p = fields[coord]
+    bottom = nanmax(p)
+
+    if interpolate:
+        top = bottom - depth
+        level = {k: log_interp(v, p, top) for k, v in fields.items()}
+        level[coord] = top
+        fields = insert_level(fields, level, coord=coord)
+    else:
+        top = bound_pressure(p, bottom - depth)
+        fields = _broadcast_fields(fields)
+
+    pnew = fields[coord]
+    mask = (pnew <= bottom[..., None]) & (pnew >= top[..., None])
+    return {k: jnp.where(mask, v, jnp.nan) for k, v in fields.items()}
