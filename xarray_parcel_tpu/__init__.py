@@ -13,5 +13,7 @@ in kg/kg (the reference's implicit unit convention).
 """
 
 from . import constants, thermo, ops
+from . import adiabat, lcl, profile, parcels, cape, diagnostics, pipeline
+from . import api, fieldset
 
 __version__ = '0.1.0'

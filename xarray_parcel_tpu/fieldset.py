@@ -1,0 +1,117 @@
+"""Output metadata: the reference's xarray-attrs observability layer.
+
+The reference attaches ``long_name``/``units``/``description`` attrs to every
+output variable (e.g. reference: modules/parcel_functions.py:1367-1368,
+2303-2304) — its de-facto observability surface.  jax arrays carry no attrs,
+so metadata lives in a canonical registry keyed by variable name; ``annotate``
+wraps a result dict in a ``FieldSet`` exposing ``.attrs`` (outside jit — the
+arrays themselves stay plain pytree leaves).
+"""
+
+
+class FieldSet(dict):
+    """A dict of named arrays with attribute access and per-variable attrs."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    @property
+    def attrs(self):
+        return {k: attrs_for(k) for k in self}
+
+
+_BASE_ATTRS = {
+    'cape': {'long_name': 'Convective available potential energy',
+             'units': 'J kg$^{-1}$'},
+    'cin': {'long_name': 'Convective inhibition', 'units': 'J kg$^{-1}$'},
+    'lifted_index': {'long_name': 'Lifted index', 'units': 'K'},
+    'dci': {'long_name': 'Deep convective index', 'units': 'C'},
+    'mixing_ratio': {'long_name': 'Mixing ratio', 'units': 'kg kg$^{-1}$'},
+    'lcl_pressure': {'long_name': 'Lifting condensation level pressure',
+                     'units': 'hPa'},
+    'lcl_temperature': {'long_name': 'Lifting condensation level temperature',
+                        'units': 'K'},
+    'lcl_virtual_temperature': {
+        'long_name': 'Lifting condensation level virtual temperature',
+        'units': 'K'},
+    'lfc_pressure': {'long_name': 'Level of free convection pressure',
+                     'units': 'hPa'},
+    'lfc_temperature': {'long_name': 'Level of free convection temperature',
+                        'units': 'K'},
+    'el_pressure': {'long_name': 'Equilibrium level pressure', 'units': 'hPa'},
+    'el_temperature': {'long_name': 'Equilibrium level temperature',
+                       'units': 'K'},
+    'pressure': {'long_name': 'Pressure', 'units': 'hPa'},
+    'temperature': {'long_name': 'Temperature', 'units': 'K'},
+    'virtual_temperature': {'long_name': 'Virtual temperature', 'units': 'K'},
+    'dewpoint': {'long_name': 'Dewpoint', 'units': 'K'},
+    'environment_temperature': {'long_name': 'Environment temperature',
+                                'units': 'K'},
+    'environment_virtual_temperature': {
+        'long_name': 'Environment virtual temperature', 'units': 'K'},
+    'environment_dewpoint': {'long_name': 'Environment dewpoint',
+                             'units': 'K'},
+    'lapse_rate_700_500': {'long_name': 'Lapse rate',
+                           'description': '700-500 hPa lapse rate',
+                           'units': 'K km$^{-1}$'},
+    'temp_500': {'long_name': 'Isobar temperature',
+                 'description': 'Temperature at 500 hPa.', 'units': 'K'},
+    'freezing_level': {
+        'long_name': 'Freezing-level height',
+        'description': 'Height of zero degree dry-bulb temperature isotherm.',
+        'units': 'm'},
+    'melting_level': {
+        'long_name': 'Melting-level height',
+        'description': 'Height of zero degree wet-bulb temperature isotherm.',
+        'units': 'm'},
+    'wet_bulb_temperature': {'long_name': 'Wet bulb temperature',
+                             'units': 'K'},
+    'shear_u': {'long_name': 'Surface to 6000 m wind shear, U component.',
+                'units': 'm s$^{-1}$'},
+    'shear_v': {'long_name': 'Surface to 6000 m wind shear, V component.',
+                'units': 'm s$^{-1}$'},
+    'shear_magnitude': {'long_name': 'Surface to 6000 m bulk wind shear.',
+                        'units': 'm s$^{-1}$'},
+    'positive_shear': {'long_name': 'True if 6000 m wind > surface wind.'},
+    'ship': {'long_name': 'Significant hail parameter (SHIP)',
+             'units': 'J kg$^{-2}$ g K$^2$ km$^{-1}$ m s$^{-1}$'},
+}
+
+_PREFIX_DESCRIPTIONS = {
+    'mu': 'most-unstable parcel in lowest 250 hPa',
+    'mixed_100': 'fully-mixed lowest 100 hPa parcel',
+    'mixed_50': 'fully-mixed lowest 50 hPa parcel',
+}
+
+_PROXY_STUDIES = {
+    'proxy_Craven2004': 'Craven 2004', 'proxy_Kunz2007': 'Kunz 2007',
+    'proxy_Trapp2007': 'Trapp 2007', 'proxy_Marsh2009': 'Marsh 2009',
+    'proxy_Allen2011': 'Allen 2011', 'proxy_Allen2014': 'Allen 2014',
+    'proxy_Eccel2012': 'Eccel 2012', 'proxy_Mohr2013': 'Mohr 2013',
+    'proxy_SHIP_0.1': 'SHIP > 0.1',
+}
+
+
+def attrs_for(name):
+    """Canonical attrs for a variable name, resolving prefixes like
+    ``mu_cape`` or ``mixed_100_lifted_index``."""
+    if name in _BASE_ATTRS:
+        return dict(_BASE_ATTRS[name])
+    if name in _PROXY_STUDIES:
+        return {'long_name': 'Proxy ' + _PROXY_STUDIES[name]}
+    for prefix, desc in _PREFIX_DESCRIPTIONS.items():
+        tag = prefix + '_'
+        if name.startswith(tag) and name[len(tag):] in _BASE_ATTRS:
+            base = dict(_BASE_ATTRS[name[len(tag):]])
+            base['description'] = (
+                f'{base.get("long_name", name)} for {desc}.')
+            return base
+    return {}
+
+
+def annotate(result):
+    """Wrap a result dict in a FieldSet (attrs resolve lazily by name)."""
+    return FieldSet(result)

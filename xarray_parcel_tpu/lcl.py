@@ -1,0 +1,58 @@
+"""Lifting condensation level: vectorised fixed-point solver.
+
+The reference wraps MetPy's scipy ``fixed_point`` LCL per dask chunk via
+``Dataset.map_blocks`` (reference: modules/parcel_functions.py:609-682) — a
+host-side process boundary.  Here the same fixed-point map runs as a fused
+elementwise iteration on device: every grid point converges in parallel, no
+chunk orchestration, NaN inputs simply propagate (the reference needed
+dummy-value substitution because MetPy's solver chokes on NaN :624-634).
+
+The iterated map is MetPy 1.4.1's: with the parcel's (dewpoint-derived)
+mixing ratio w held fixed,
+    p_{k+1} = p0 * (Td(e(p_k, w)) / T0) ** (1/kappa)
+whose fixed point is the LCL pressure; both solvers converge to the same
+fixed point, so golden values agree to solver tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as c
+from . import thermo
+
+
+def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
+    """LCL pressure/temperature/virtual temperature of parcels (elementwise).
+
+    Returns a dict with ``lcl_pressure`` [hPa], ``lcl_temperature`` [K] and
+    ``lcl_virtual_temperature`` [K] (the reference also returns the virtual
+    temperature, computed at saturation; reference:
+    modules/parcel_functions.py:652-657).
+    """
+    p0 = jnp.asarray(parcel_pressure)
+    t0 = jnp.asarray(parcel_temperature)
+    td0 = jnp.asarray(parcel_dewpoint)
+    p0, t0, td0 = jnp.broadcast_arrays(p0, t0, td0)
+
+    w = thermo.mixing_ratio_from_partial_pressure(
+        thermo.saturation_vapor_pressure(td0), p0)
+
+    def body(_, p):
+        e = thermo.vapor_pressure(p, w)
+        td = thermo.dewpoint(e)
+        return p0 * (td / t0) ** (1.0 / c.kappa)
+
+    lcl_p = jax.lax.fori_loop(0, iterations, body, p0)
+    lcl_t = thermo.dewpoint(thermo.vapor_pressure(lcl_p, w))
+
+    # Virtual temperature at the LCL (temperature == dewpoint there).
+    lcl_w = thermo.mixing_ratio(lcl_t, lcl_t, lcl_p)
+    lcl_vt = thermo.virtual_temperature(lcl_t, lcl_w)
+
+    valid = ~(jnp.isnan(p0) | jnp.isnan(t0) | jnp.isnan(td0))
+    nan = jnp.nan
+    return {
+        'lcl_pressure': jnp.where(valid, lcl_p, nan),
+        'lcl_temperature': jnp.where(valid, lcl_t, nan),
+        'lcl_virtual_temperature': jnp.where(valid, lcl_vt, nan),
+    }

@@ -1,0 +1,140 @@
+"""Parcel selection: mixed-layer and most-unstable parcels, plus the
+corresponding CAPE/CIN wrappers.
+
+TPU-native equivalents of reference: modules/parcel_functions.py:102-289
+(layer mixing, most-unstable search) and :1517-1697 (subsetting wrappers).
+The reference's variable-length subsetting (``dropna`` + ``shift_out_nans``)
+becomes fixed-shape left-compaction: columns keep a static level count with
+NaN padding at the top, which every downstream op already treats as missing.
+"""
+
+import jax.numpy as jnp
+
+from . import thermo
+from .cape import cape_cin
+from .ops import compact_left, get_layer, nanmax, nanmin, trapz
+
+
+def mixed_layer(fields, depth=100.0):
+    """Mass-weighted (mean-value-theorem) average of each variable over the
+    surface-based layer of the given depth
+    (reference: modules/parcel_functions.py:137-162)."""
+    layer = get_layer(fields, depth=depth, interpolate=True)
+    p = layer['pressure']
+    pressure_depth = jnp.abs(nanmin(p) - nanmax(p))
+    return {k: trapz(v, p) / pressure_depth for k, v in layer.items()
+            if k != 'pressure'}
+
+
+def mixed_parcel(pressure, temperature, dewpoint, depth=100.0):
+    """Fully mix a surface-based layer: conserve theta and mixing ratio,
+    return the parcel's pressure/temperature/dewpoint
+    (reference: modules/parcel_functions.py:229-289)."""
+    pressure = jnp.asarray(pressure)
+    parcel_start_pressure = pressure[..., 0]
+
+    theta = thermo.potential_temperature(pressure, temperature)
+    mixing_ratio = thermo.saturation_mixing_ratio(pressure, dewpoint)
+
+    mixed = mixed_layer({'pressure': pressure, 'theta': theta,
+                         'mixing_ratio': mixing_ratio}, depth=depth)
+
+    temp = mixed['theta'] * thermo.exner_function(parcel_start_pressure)
+    vap = thermo.vapor_pressure(parcel_start_pressure, mixed['mixing_ratio'])
+    dew = thermo.dewpoint(vap)
+    return {'pressure': parcel_start_pressure, 'temperature': temp,
+            'dewpoint': dew}
+
+
+def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
+    """The max-theta-e parcel in the surface-based layer of given depth;
+    ties take the first (lowest) level
+    (reference: modules/parcel_functions.py:102-135)."""
+    layer = get_layer({'pressure': pressure, 'temperature': temperature,
+                       'dewpoint': dewpoint}, depth=depth, interpolate=False)
+    eq = thermo.equivalent_potential_temperature(
+        layer['pressure'], layer['temperature'], layer['dewpoint'])
+    max_eq = nanmax(eq)
+    pres = nanmax(layer['pressure'], where=eq == max_eq[..., None])
+    sel = layer['pressure'] == pres[..., None]
+    return {k: nanmax(v, where=sel) for k, v in layer.items()}
+
+
+def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
+    """Subset columns to levels at/above the most unstable parcel, compacted
+    left (reference: modules/parcel_functions.py:1517-1555).
+
+    Returns (fields dict with (…, L) NaN-padded columns, parcel dict).
+    """
+    parcel = most_unstable_parcel(pressure, temperature, dewpoint,
+                                  depth=depth)
+    keep = pressure <= parcel['pressure'][..., None]
+    fields = {
+        'pressure': jnp.where(keep, pressure, jnp.nan),
+        'temperature': jnp.where(keep, temperature, jnp.nan),
+        'dewpoint': jnp.where(keep, dewpoint, jnp.nan),
+    }
+    return compact_left(fields, 'pressure'), parcel
+
+
+def mix_layer(pressure, temperature, dewpoint, depth=100.0):
+    """Replace the lowest ``depth`` hPa with the fully-mixed parcel as the
+    new bottom level (reference: modules/parcel_functions.py:1604-1649).
+
+    Returns (fields dict with (…, L) columns — parcel at level 0, remaining
+    levels compacted, NaN padding above — and the mixed parcel dict).
+    """
+    pressure = jnp.asarray(pressure)
+    mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth)
+
+    keep = pressure < (nanmax(pressure) - depth)[..., None]
+    kept = compact_left({
+        'pressure': jnp.where(keep, pressure, jnp.nan),
+        'temperature': jnp.where(keep, jnp.broadcast_to(temperature,
+                                                        pressure.shape),
+                                 jnp.nan),
+        'dewpoint': jnp.where(keep, jnp.broadcast_to(dewpoint,
+                                                     pressure.shape),
+                              jnp.nan),
+    }, 'pressure')
+
+    out = {}
+    for k in ('pressure', 'temperature', 'dewpoint'):
+        out[k] = jnp.concatenate(
+            [jnp.broadcast_to(mp[k][..., None],
+                              kept[k].shape[:-1] + (1,)),
+             kept[k][..., :-1]], axis=-1)
+    return out, mp
+
+
+def most_unstable_cape_cin(pressure, temperature, dewpoint, depth=300.0,
+                           **kwargs):
+    """CAPE/CIN for the most-unstable parcel in the lowest ``depth`` hPa
+    (reference: modules/parcel_functions.py:1557-1602).
+
+    Returns (cape_cin dict, profile dict, parcel dict).
+    """
+    fields, parcel = from_most_unstable_parcel(pressure, temperature,
+                                               dewpoint, depth=depth)
+    res, profile = cape_cin(fields['pressure'], fields['temperature'],
+                            fields['dewpoint'],
+                            parcel_temperature=parcel['temperature'],
+                            parcel_pressure=parcel['pressure'],
+                            parcel_dewpoint=parcel['dewpoint'], **kwargs)
+    return res, profile, parcel
+
+
+def mixed_layer_cape_cin(pressure, temperature, dewpoint, depth=100.0,
+                         **kwargs):
+    """CAPE/CIN for the fully-mixed lowest ``depth`` hPa parcel
+    (reference: modules/parcel_functions.py:1651-1697).
+
+    Returns (cape_cin dict, profile dict, parcel dict).
+    """
+    fields, mp = mix_layer(pressure, temperature, dewpoint, depth=depth)
+    res, profile = cape_cin(fields['pressure'], fields['temperature'],
+                            fields['dewpoint'],
+                            parcel_temperature=mp['temperature'],
+                            parcel_pressure=mp['pressure'],
+                            parcel_dewpoint=mp['dewpoint'], **kwargs)
+    return res, profile, mp

@@ -1,0 +1,168 @@
+"""Batch diagnostic pipelines — the "run everything on a dataset" layer.
+
+TPU-native equivalents of reference: modules/parcel_functions.py:1872-2100
+(``conv_properties`` / ``min_conv_properties``) and :2323-2407
+(``storm_proxies``).  One jittable pure function produces the full ~25
+variable set for every column at once; under jit the whole pipeline is a
+single fused XLA program (the reference builds a lazy dask graph instead and
+pays per-chunk task overhead).
+
+Inputs are a dict of (…, L) arrays with the reference's variable names:
+``pressure``, ``temperature``, ``specific_humidity``, ``height_asl`` and the
+wind set (``surface_wind_u``/``surface_wind_v`` (…), ``wind_u``/``wind_v``/
+``wind_height_above_surface`` (…, Lw)).
+"""
+
+import jax.numpy as jnp
+
+from . import diagnostics as diag
+from . import thermo
+from .parcels import mixed_layer_cape_cin, most_unstable_cape_cin
+from .fieldset import annotate
+
+
+def _prefix(d, prefix):
+    return {f'{prefix}_{k}': v for k, v in d.items()}
+
+
+def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
+                    with_attrs=False):
+    """Full convection-diagnostics pipeline
+    (reference: modules/parcel_functions.py:1951-2100).
+
+    Returns a dict with: mu/mixed_100/mixed_50 cape+cin, three lifted
+    indices, three DCIs, the most-unstable parcel mixing ratio, 700-500 hPa
+    lapse rate, 500 hPa temperature, freezing/melting level heights and 0-6 km
+    shear — NaN-masked wherever any input column is invalid (unless
+    ``ignore_nans``).
+    """
+    kw = dict(tables=tables, moist_lapse=moist_lapse)
+    p = jnp.asarray(dat['pressure'])
+    t = jnp.asarray(dat['temperature'])
+    q = jnp.asarray(dat['specific_humidity'])
+
+    dew = thermo.dewpoint_from_specific_humidity(p, t, q)
+
+    valid = ~(jnp.isnan(dew).any(-1) | jnp.isnan(p).any(-1) |
+              jnp.isnan(t).any(-1) | jnp.isnan(q).any(-1))
+
+    mu_cc, mu_prof, mu_parcel = most_unstable_cape_cin(
+        p, t, dew, depth=250.0, **kw)
+    m100_cc, m100_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=100.0, **kw)
+    m50_cc, m50_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=50.0, **kw)
+
+    mu_li = diag.lifted_index(mu_prof)['lifted_index']
+    m100_li = diag.lifted_index(m100_prof)['lifted_index']
+    m50_li = diag.lifted_index(m50_prof)['lifted_index']
+
+    mu_dci = diag.deep_convective_index(p, t, dew, mu_li)['dci']
+    m100_dci = diag.deep_convective_index(p, t, dew, m100_li)['dci']
+    m50_dci = diag.deep_convective_index(p, t, dew, m50_li)['dci']
+
+    mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
+        thermo.specific_humidity_from_dewpoint(mu_parcel['pressure'],
+                                               mu_parcel['dewpoint']))
+
+    height = jnp.asarray(dat['height_asl'])
+    lapse = diag.lapse_rate(p, t, height)
+    temp_500 = diag.isobar_temperature(p, t, 500.0)
+    flh = diag.freezing_level_height(t, height)
+    mlh, _ = diag.melting_level_height(p, t, dew, height, fast=True)
+
+    shear = diag.wind_shear(dat['surface_wind_u'], dat['surface_wind_v'],
+                            dat['wind_u'], dat['wind_v'],
+                            dat['wind_height_above_surface'],
+                            shear_height=6000.0)
+
+    out = {}
+    out.update(_prefix(mu_cc, 'mu'))
+    out['mu_mixing_ratio'] = mu_mixing_ratio
+    out.update(_prefix(m100_cc, 'mixed_100'))
+    out.update(_prefix(m50_cc, 'mixed_50'))
+    out['mu_lifted_index'] = mu_li
+    out['mixed_100_lifted_index'] = m100_li
+    out['mixed_50_lifted_index'] = m50_li
+    out['mu_dci'] = mu_dci
+    out['mixed_100_dci'] = m100_dci
+    out['mixed_50_dci'] = m50_dci
+    out['lapse_rate_700_500'] = lapse
+    out['temp_500'] = temp_500
+    out['freezing_level'] = flh
+    out['melting_level'] = mlh
+    out.update(shear)
+
+    if not ignore_nans:
+        for k, v in out.items():
+            if v.dtype == bool:
+                out[k] = jnp.where(valid, v, False)
+            else:
+                out[k] = jnp.where(valid, v, jnp.nan)
+    return annotate(out) if with_attrs else out
+
+
+def min_conv_properties(dat, tables=None, moist_lapse=None,
+                        with_attrs=False):
+    """Reduced pipeline: mixed-100 CAPE/CIN + LI, lapse, T500, FLH, MLH,
+    shear (reference: modules/parcel_functions.py:1872-1949)."""
+    kw = dict(tables=tables, moist_lapse=moist_lapse)
+    p = jnp.asarray(dat['pressure'])
+    t = jnp.asarray(dat['temperature'])
+    q = jnp.asarray(dat['specific_humidity'])
+    dew = thermo.dewpoint_from_specific_humidity(p, t, q)
+
+    m100_cc, m100_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=100.0, **kw)
+    m100_li = diag.lifted_index(m100_prof)['lifted_index']
+
+    height = jnp.asarray(dat['height_asl'])
+    out = dict(_prefix(m100_cc, 'mixed_100'))
+    out['mixed_100_lifted_index'] = m100_li
+    out['lapse_rate_700_500'] = diag.lapse_rate(p, t, height)
+    out['temp_500'] = diag.isobar_temperature(p, t, 500.0)
+    out['freezing_level'] = diag.freezing_level_height(t, height)
+    mlh, _ = diag.melting_level_height(p, t, dew, height, fast=True)
+    out['melting_level'] = mlh
+    out.update(diag.wind_shear(dat['surface_wind_u'], dat['surface_wind_v'],
+                               dat['wind_u'], dat['wind_v'],
+                               dat['wind_height_above_surface'],
+                               shear_height=6000.0))
+    return annotate(out) if with_attrs else out
+
+
+def storm_proxies(dat, with_attrs=False):
+    """Literature storm-proxy booleans + SHIP
+    (reference: modules/parcel_functions.py:2323-2407).
+
+    ``dat`` is the output of ``conv_properties``.
+    """
+    s06 = dat['shear_magnitude']
+    m100 = jnp.where(dat['mixed_100_cape'] >= 0, dat['mixed_100_cape'],
+                     jnp.nan)
+    m50 = jnp.where(dat['mixed_50_cape'] >= 0, dat['mixed_50_cape'], jnp.nan)
+    mu = jnp.where(dat['mu_cape'] >= 0, dat['mu_cape'], jnp.nan)
+
+    out = {}
+    out['proxy_Craven2004'] = (m100 * s06) >= 20000.0
+    out['proxy_Kunz2007'] = ((dat['mixed_100_lifted_index'] <= -2.07) |
+                             (mu >= 1474.0) |
+                             (dat['mixed_100_dci'] >= 25.7))
+    trapp = ((m100 * s06 >= 10000.0) & (m100 >= 100.0) & (s06 >= 5.0) &
+             dat['positive_shear'])
+    out['proxy_Trapp2007'] = trapp
+    out['proxy_Marsh2009'] = (m100 * s06) >= 10000.0
+    out['proxy_Allen2011'] = m50 * s06 ** 1.67 >= 25000.0
+    out['proxy_Allen2014'] = (out['proxy_Allen2011'] &
+                              (dat['mixed_50_cin'] > -25.0) &
+                              (s06 > 7.5) &
+                              (dat['lapse_rate_700_500'] < -6.5))
+    out['proxy_Eccel2012'] = ((m100 * s06 > 10000.0) &
+                              (dat['mixed_100_cin'] > -50.0))
+    out['proxy_Mohr2013'] = ((dat['mixed_100_lifted_index'] <= -1.6) |
+                             (m100 >= 439.0) |
+                             (dat['mixed_100_dci'] >= 26.4))
+    ship = diag.significant_hail_parameter(
+        mucape=mu, mixing_ratio=dat['mu_mixing_ratio'],
+        lapse=dat['lapse_rate_700_500'], temp_500=dat['temp_500'],
+        shear=s06, flh=dat['freezing_level'])
+    out['ship'] = ship
+    out['proxy_SHIP_0.1'] = ship > 0.1
+    return annotate(out) if with_attrs else out

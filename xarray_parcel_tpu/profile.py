@@ -1,0 +1,122 @@
+"""Lifted-parcel temperature profiles (dry below LCL, moist above).
+
+TPU-native equivalents of the reference's profile builders
+(reference: modules/parcel_functions.py:712-931): fixed-shape columns with
+the LCL spliced in as an extra level via the static-shape ``insert_level``
+gather, virtual-temperature track computed alongside.
+
+All functions take/return plain arrays (batch dims leading, level axis last)
+in dicts keyed like the reference's Dataset variables.
+"""
+
+import jax.numpy as jnp
+
+from . import adiabat, thermo
+from .lcl import lcl
+from .ops import insert_level, linear_interp, log_interp
+
+
+def parcel_profile(pressure, parcel_pressure, parcel_temperature,
+                   parcel_dewpoint, tables=None, moist_lapse=None):
+    """Temperature (+virtual temperature) of a parcel lifted to ``pressure``.
+
+    ``pressure``: (…, L); parcel state: (…).  Returns dict with 'pressure',
+    'temperature', 'virtual_temperature', 'lcl_pressure', 'lcl_temperature',
+    'lcl_virtual_temperature' (reference: modules/parcel_functions.py:712-780).
+
+    ``moist_lapse`` selects the lifting backend (defaults to the table
+    consumer ``adiabat.moist_lapse``; pass ``adiabat.moist_lapse_integrate``
+    for the exact-ODE oracle, mirroring the reference's monkeypatch testing
+    strategy).
+    """
+    ml = moist_lapse or adiabat.moist_lapse
+    pressure = jnp.asarray(pressure)
+    parcel_pressure = jnp.asarray(parcel_pressure)
+    parcel_temperature = jnp.asarray(parcel_temperature)
+    parcel_dewpoint = jnp.asarray(parcel_dewpoint)
+
+    out = {'pressure': pressure}
+    out.update(lcl(parcel_pressure, parcel_temperature, parcel_dewpoint))
+    lcl_p = out['lcl_pressure']
+
+    below_lcl = thermo.dry_lapse(pressure, parcel_temperature[..., None],
+                                 parcel_pressure[..., None])
+    above_lcl = ml(pressure, out['lcl_temperature'], lcl_p, tables=tables)
+
+    # Mixing ratio: parcel's (constant) below the LCL, saturated above.
+    parcel_w = thermo.mixing_ratio(parcel_temperature, parcel_dewpoint,
+                                   parcel_pressure)
+    sat_w = thermo.saturation_mixing_ratio(pressure, above_lcl)
+
+    lcl_pb = lcl_p[..., None]
+    out['temperature'] = jnp.where(pressure >= lcl_pb, below_lcl, above_lcl)
+    w = jnp.where(pressure <= lcl_pb, sat_w, parcel_w[..., None])
+    out['virtual_temperature'] = thermo.virtual_temperature(
+        out['temperature'], w)
+    return out
+
+
+def add_lcl_to_profile(profile, environment=None, interpolator='log'):
+    """Splice the LCL level into a profile (and optionally the environment).
+
+    Mirrors the reference (reference: modules/parcel_functions.py:858-931):
+    the environment temperature/dewpoint are interpolated at the LCL pressure
+    (log-p by default; MetPy uses linear), the environment virtual
+    temperature at the LCL is *recomputed* from the interpolated T/Td, and
+    both profile and environment gain one level.
+    """
+    assert interpolator in ('linear', 'log')
+    interp = log_interp if interpolator == 'log' else linear_interp
+
+    level = {'pressure': profile['lcl_pressure'],
+             'temperature': profile['lcl_temperature'],
+             'virtual_temperature': profile['lcl_virtual_temperature']}
+    out = insert_level(
+        {k: profile[k] for k in ('pressure', 'temperature',
+                                 'virtual_temperature')}, level)
+    for k in ('lcl_pressure', 'lcl_temperature', 'lcl_virtual_temperature'):
+        out[k] = profile[k]
+
+    if environment is not None:
+        env_p = environment['pressure']
+        interp_level = {
+            k: interp(v, env_p, level['pressure'])
+            for k, v in environment.items()}
+        interp_level['pressure'] = level['pressure']
+
+        if 'virtual_temperature' in environment:
+            mix = thermo.mixing_ratio(interp_level['temperature'],
+                                      interp_level['dewpoint'],
+                                      interp_level['pressure'])
+            interp_level['virtual_temperature'] = thermo.virtual_temperature(
+                interp_level['temperature'], mix)
+
+        new_env = insert_level(environment, interp_level)
+        for k in environment:
+            if k != 'pressure':
+                out['environment_' + k] = new_env[k]
+    return out
+
+
+def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
+                            parcel_temperature, parcel_dewpoint,
+                            lcl_interp='log', tables=None, moist_lapse=None):
+    """Parcel profile including the LCL level, plus the environment
+    (virtual) temperature track spliced at the LCL
+    (reference: modules/parcel_functions.py:806-856).
+
+    Output columns have L+1 levels.
+    """
+    profile = parcel_profile(pressure, parcel_pressure, parcel_temperature,
+                             parcel_dewpoint, tables=tables,
+                             moist_lapse=moist_lapse)
+
+    mix = thermo.mixing_ratio(temperature, dewpoint, pressure)
+    environment = {
+        'temperature': jnp.broadcast_to(temperature, profile['pressure'].shape),
+        'virtual_temperature': thermo.virtual_temperature(temperature, mix),
+        'dewpoint': jnp.broadcast_to(dewpoint, profile['pressure'].shape),
+        'pressure': profile['pressure'],
+    }
+    return add_lcl_to_profile(profile, environment=environment,
+                              interpolator=lcl_interp)
