@@ -1,0 +1,142 @@
+"""Moist-adiabat engine tests: RK4 integrator, table build, table consumer.
+
+The integrator is validated against scipy.integrate.solve_ivp (an oracle the
+reference never had — it trusted MetPy); the tables are validated against the
+integrator on the domain the reference quotes its 0.037 K figure for
+(reference: parcel_functions_demo.ipynb cell 20), plus golden moist-lapse
+values at the reference's loosened table tolerance
+(reference: modules/unit_tests.py:106-112).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_array_almost_equal
+from scipy.integrate import solve_ivp
+
+from xarray_parcel_tpu import adiabat
+from xarray_parcel_tpu.thermo import moist_lapse_rate
+
+
+@pytest.fixture(scope='session')
+def tables():
+    return adiabat.load_moist_adiabat_lookups()
+
+
+def test_rk4_matches_scipy():
+    def rhs(p, t):
+        return np.asarray(moist_lapse_rate(p, t[0]))[None]
+
+    for t0, p0, p1 in [(293.0, 1000.0, 300.0), (260.0, 900.0, 150.0),
+                       (310.0, 1050.0, 200.0)]:
+        ours = float(adiabat.integrate_between(
+            jnp.asarray(t0), jnp.log(jnp.asarray(p0)),
+            jnp.log(jnp.asarray(p1)), n_substeps=64))
+        ref = solve_ivp(rhs, (p0, p1), [t0], rtol=1e-11, atol=1e-11).y[0, -1]
+        assert abs(ours - ref) < 2e-6, (t0, p0, p1, ours, ref)
+
+
+def test_generated_curves_match_scipy(tables):
+    # Spot-check full curves against scipy at a few start temperatures.
+    def rhs(p, t):
+        return np.asarray(moist_lapse_rate(p, t[0]))[None]
+
+    pgrid = np.asarray(adiabat.pressure_grid())
+    starts = np.asarray(adiabat.curve_start_temperatures())
+    for i in [0, 7151, 14299]:
+        sol = solve_ivp(rhs, (1100.0, 2.5), [float(starts[i])], rtol=1e-11,
+                        atol=1e-11, dense_output=True)
+        ref = sol.sol(pgrid)[0]
+        got = np.asarray(tables.curves[i])
+        assert np.max(np.abs(got - ref)) < 5e-5, i
+
+
+def test_lookup_envelope_and_monotonicity(tables):
+    lk = np.asarray(tables.lookup)
+    # Fractional index increases with temperature where defined.
+    d = np.diff(lk, axis=1)
+    assert np.nanmin(d) >= 0
+    # Cells far outside the envelope are NaN (e.g. 315 K at 150 hPa).
+    ip = int(round((adiabat.P_TOP - 150.0) / adiabat.P_STEP))
+    it = int(round((315.0 - adiabat.T_MIN) / adiabat.T_STEP))
+    assert np.isnan(lk[ip, it])
+
+
+def test_moist_lapse_table_golden(tables):
+    # Reference parity: table-backed moist lapse passes the golden values at
+    # the reference's loosened 2-decimal tolerance in nearest mode
+    # (reference: modules/unit_tests.py:106-112, run_moist_lapse_tests_looser)
+    # and at full tolerance in bilinear+blend mode.
+    levels = jnp.array([1000., 800., 600., 500., 400.])
+    truth = [293, 284.64, 272.81, 264.42, 252.91]
+    nearest = adiabat.moist_lapse(levels, 293.0, tables=tables,
+                                  bilinear=False, curve_blend=False)
+    assert_array_almost_equal(np.asarray(nearest), truth, 1)
+    assert np.max(np.abs(np.asarray(nearest) - np.asarray(truth))) < 0.016
+    blended = adiabat.moist_lapse(levels, 293.0, tables=tables)
+    assert_array_almost_equal(np.asarray(blended), truth, 2)
+
+    ref_pres = adiabat.moist_lapse(jnp.array([1050., 800., 600., 500., 400.]),
+                                   293.0, 1000.0, tables=tables)
+    assert_array_almost_equal(np.asarray(ref_pres),
+                              [294.76, 284.64, 272.81, 264.42, 252.91], 2)
+
+    uniform = adiabat.moist_lapse(jnp.array([900., 900., 900.]), 293.15,
+                                  tables=tables)
+    assert_array_almost_equal(np.asarray(uniform), [293.15] * 3, 2)
+
+
+def test_table_vs_oracle_accuracy(tables):
+    # Reference quotes 0.037 K max error for its nearest/nearest tables on
+    # 1000-hPa parcels, 250-313 K (demo nb cell 20).  The bilinear+blend
+    # consumer must be far better; nearest mode comparable.
+    ptemp = jnp.array(np.linspace(250.0, 313.0, 127))
+    lev = jnp.array(np.broadcast_to(np.round(np.arange(1000, 99, -9.0), 1),
+                                    (127, 101)))
+    oracle = np.asarray(adiabat.moist_lapse_integrate(lev, ptemp, 1000.0))
+    blended = np.asarray(adiabat.moist_lapse(lev, ptemp, 1000.0,
+                                             tables=tables))
+    nearest = np.asarray(adiabat.moist_lapse(lev, ptemp, 1000.0,
+                                             tables=tables, bilinear=False,
+                                             curve_blend=False))
+    assert np.nanmax(np.abs(blended - oracle)) < 1e-3
+    assert np.nanmax(np.abs(nearest - oracle)) < 0.1
+
+
+def test_moist_lapse_nan_semantics(tables):
+    levels = jnp.array([1000., 800., jnp.nan, 400.])
+    out = np.asarray(adiabat.moist_lapse(levels, 293.0, tables=tables))
+    assert np.isnan(out[2]) and not np.isnan(out[[0, 1, 3]]).any()
+    # NaN parcel -> all NaN.
+    out2 = np.asarray(adiabat.moist_lapse(levels, jnp.nan, tables=tables))
+    assert np.all(np.isnan(out2))
+    # Out-of-range pressures -> NaN (no extrapolation).
+    out3 = np.asarray(adiabat.moist_lapse(jnp.array([1150.0, 1.0]), 293.0,
+                                          1000.0, tables=tables))
+    assert np.all(np.isnan(out3))
+    # Out-of-envelope parcel -> NaN.
+    out4 = np.asarray(adiabat.moist_lapse(jnp.array([500.0]), 315.0, 150.0,
+                                          tables=tables))
+    assert np.all(np.isnan(out4))
+
+
+def test_moist_lapse_pointwise(tables):
+    # Pointwise mode: one target pressure per parcel (wet-bulb pattern).
+    p = jnp.array([1000.0, 900.0, 850.0])
+    t = jnp.array([293.0, 290.0, 288.0])
+    pw = adiabat.moist_lapse(p - 50.0, t, p, tables=tables)
+    full = adiabat.moist_lapse((p - 50.0)[:, None], t, p, tables=tables)
+    assert_array_almost_equal(np.asarray(pw), np.asarray(full)[:, 0], 10)
+
+
+def test_cape_table_vs_oracle(tables):
+    # The bench path (table backend) agrees with the oracle on CAPE/CIN.
+    from xarray_parcel_tpu import api
+    levels = jnp.array([959., 779.2, 751.3, 724.3, 700., 269.])
+    temps = jnp.array([22.2, 14.6, 12., 9.4, 7., -38.]) + 273.15
+    dews = jnp.array([19., -11.2, -10.8, -10.4, -10., -53.2]) + 273.15
+    res_t, _ = api.surface_based_cape_cin(levels, temps, dews, tables=tables)
+    res_o, _ = api.surface_based_cape_cin(
+        levels, temps, dews, moist_lapse=adiabat.moist_lapse_integrate)
+    assert abs(float(res_t['cape'][()]) - float(res_o['cape'][()])) < 0.1
+    assert abs(float(res_t['cin'][()]) - float(res_o['cin'][()])) < 0.1

@@ -142,30 +142,36 @@ def generate_curves(dtype=jnp.float32):
 
 
 def build_lookup(curves):
-    """Build the (pressure, temperature) -> nearest curve index table.
+    """Build the (pressure, temperature) -> fractional curve index table.
 
     For each pressure-grid index the curve temperatures ``curves[:, ip]`` are
     strictly increasing in curve index (pseudoadiabats do not cross), so the
-    nearest curve at a (p, T) cell is found by inverse interpolation — the
-    exact form of the reference's two-pass rounding fill
-    (reference: modules/parcel_functions.py:478-504).  Cells outside the curve
-    family's temperature envelope (beyond half a temperature step) get -1
-    (the reference leaves them NaN; consumers re-NaN them).
+    curve passing exactly through a (p, T) cell has a well-defined fractional
+    index by inverse interpolation.  This is the continuous refinement of the
+    reference's two-pass nearest-curve rounding fill
+    (reference: modules/parcel_functions.py:478-504): rounding the fractional
+    index reproduces the reference's nearest-curve behaviour, while blending
+    the two bracketing curves (the default consumer mode) removes the curve
+    quantisation error entirely.  Cells outside the curve family's
+    temperature envelope (beyond half a temperature step) are NaN (the
+    reference leaves them NaN too; consumers re-NaN them).
 
-    Returns int32 (N_PRES, N_TEMP).
+    Returns float32 (N_PRES, N_TEMP).
     """
     tq = T_MIN + T_STEP * jnp.arange(N_TEMP, dtype=curves.dtype)
 
     def per_pressure(col):
-        # col: (N_CURVES,) increasing. Nearest index for each query temp.
-        hi = jnp.searchsorted(col, tq, side='left')
-        hi = jnp.clip(hi, 1, col.shape[0] - 1)
+        # col: (N_CURVES,) increasing curve temps at this pressure level.
+        hi = jnp.clip(jnp.searchsorted(col, tq, side='left'), 1,
+                      col.shape[0] - 1)
         lo = hi - 1
-        pick_hi = (col[hi] - tq) < (tq - col[lo])
-        idx = jnp.where(pick_hi, hi, lo)
-        dist = jnp.abs(col[idx] - tq)
-        valid = dist <= (T_STEP / 2.0 + 1e-9)
-        return jnp.where(valid, idx, -1).astype(jnp.int32)
+        frac = (tq - col[lo]) / (col[hi] - col[lo])
+        fidx = lo + jnp.clip(frac, 0.0, 1.0)
+        # Validity mirrors the reference's fill coverage: within half a
+        # temperature step of the envelope.
+        valid = ((tq >= col[0] - T_STEP / 2.0) &
+                 (tq <= col[-1] + T_STEP / 2.0))
+        return jnp.where(valid, fidx, jnp.nan).astype(jnp.float32)
 
     return jax.lax.map(per_pressure, curves.T, batch_size=128)
 
@@ -245,36 +251,81 @@ def default_tables():
     return _DEFAULT_TABLES
 
 
-def _curve_index(tables, parcel_pressure, parcel_temperature):
-    """Nearest-cell curve lookup for parcel state (clamped at grid edges,
-    matching xarray .sel(method='nearest') in the reference :554-557)."""
-    ip = jnp.clip(jnp.round((P_TOP - parcel_pressure) / P_STEP),
-                  0, N_PRES - 1).astype(jnp.int32)
-    it = jnp.clip(jnp.round((parcel_temperature - T_MIN) / T_STEP),
-                  0, N_TEMP - 1).astype(jnp.int32)
-    return tables.lookup[ip, it]
+def _curve_index(tables, parcel_pressure, parcel_temperature,
+                 bilinear=True):
+    """Fractional curve index for a parcel state.
+
+    With ``bilinear`` (default) the fractional index is bilinearly
+    interpolated over the four neighbouring (p, T) cells, removing the cell
+    quantisation of the reference's nearest ``.sel`` (reference:
+    modules/parcel_functions.py:554-557); otherwise the nearest cell is used
+    (clamped at grid edges, like xarray nearest-sel).  Returns NaN where the
+    parcel is outside the table envelope.
+    """
+    fp_ = (P_TOP - parcel_pressure) / P_STEP
+    ft = (parcel_temperature - T_MIN) / T_STEP
+    if not bilinear:
+        ip = jnp.clip(jnp.round(fp_), 0, N_PRES - 1).astype(jnp.int32)
+        it = jnp.clip(jnp.round(ft), 0, N_TEMP - 1).astype(jnp.int32)
+        return tables.lookup[ip, it]
+
+    ip0 = jnp.clip(jnp.floor(fp_), 0, N_PRES - 2).astype(jnp.int32)
+    it0 = jnp.clip(jnp.floor(ft), 0, N_TEMP - 2).astype(jnp.int32)
+    ap = jnp.clip(fp_ - ip0, 0.0, 1.0)
+    at = jnp.clip(ft - it0, 0.0, 1.0)
+    f00 = tables.lookup[ip0, it0]
+    f01 = tables.lookup[ip0, it0 + 1]
+    f10 = tables.lookup[ip0 + 1, it0]
+    f11 = tables.lookup[ip0 + 1, it0 + 1]
+    bil = ((1 - ap) * ((1 - at) * f00 + at * f01) +
+           ap * ((1 - at) * f10 + at * f11))
+    # Fall back to the nearest cell when a corner is outside the envelope.
+    ipn = jnp.clip(jnp.round(fp_), 0, N_PRES - 1).astype(jnp.int32)
+    itn = jnp.clip(jnp.round(ft), 0, N_TEMP - 1).astype(jnp.int32)
+    nearest = tables.lookup[ipn, itn]
+    return jnp.where(jnp.isnan(bil), nearest, bil)
 
 
-def _interp_curve(tables, idx, pressure):
-    """Interpolate curve ``idx`` at ``pressure`` — pure index arithmetic on
-    the uniform grid (the reference needed a numba gufunc here)."""
+def _interp_curve(tables, fidx, pressure, curve_blend=True):
+    """Evaluate the adiabat with fractional index ``fidx`` at ``pressure`` —
+    pure index arithmetic on the uniform grids (the reference needed a numba
+    gufunc plus xarray gathers here).
+
+    With ``curve_blend`` the two bracketing curves are linearly blended by
+    the fractional part; otherwise the nearest curve alone is used
+    (reference-faithful nearest behaviour).
+    """
     fi = (P_TOP - pressure) / P_STEP
     i0 = jnp.clip(jnp.floor(fi), 0, N_PRES - 2).astype(jnp.int32)
     t = fi - i0
-    idx_b = idx[..., None] if idx.ndim < pressure.ndim else idx
-    c0 = tables.curves[idx_b, i0]
-    c1 = tables.curves[idx_b, i0 + 1]
-    return c0 * (1.0 - t) + c1 * t
+    if fidx.ndim < pressure.ndim:
+        fidx = fidx[..., None]
+    if curve_blend:
+        c0 = jnp.clip(jnp.floor(fidx), 0, N_CURVES - 2).astype(jnp.int32)
+        a = jnp.clip(fidx - c0, 0.0, 1.0)
+        lo = (tables.curves[c0, i0] * (1.0 - t) +
+              tables.curves[c0, i0 + 1] * t)
+        hi = (tables.curves[c0 + 1, i0] * (1.0 - t) +
+              tables.curves[c0 + 1, i0 + 1] * t)
+        return lo * (1.0 - a) + hi * a
+    idx = jnp.clip(jnp.round(fidx), 0, N_CURVES - 1).astype(jnp.int32)
+    return tables.curves[idx, i0] * (1.0 - t) + tables.curves[idx, i0 + 1] * t
 
 
 def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
-                tables=None):
+                tables=None, bilinear=True, curve_blend=True):
     """Temperature of parcels lifted moist-adiabatically, via lookup tables.
 
     ``pressure``: (…, L) levels to lift to (or (…) for pointwise use);
     ``parcel_temperature`` / ``parcel_pressure``: (…) parcel start state
     (parcel_pressure defaults to the first level,
     reference: modules/parcel_functions.py:549-550).
+
+    ``bilinear``/``curve_blend`` (default on) interpolate the fractional
+    curve index over the (p, T) lookup cells and blend the two bracketing
+    curves — an order of magnitude more accurate than the reference's
+    nearest/nearest scheme for two extra gathers; switch both off for the
+    reference-faithful nearest behaviour.
 
     NaN-faithful to the reference (:570-605): invalid parcels, out-of-table
     parcels, and out-of-range level pressures all give NaN.
@@ -289,17 +340,18 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     parcel_temperature = jnp.asarray(parcel_temperature)
     parcel_pressure = jnp.asarray(parcel_pressure)
 
-    idx = _curve_index(tables, parcel_pressure, parcel_temperature)
-    valid = (idx >= 0) & ~jnp.isnan(parcel_temperature) & \
+    fidx = _curve_index(tables, parcel_pressure, parcel_temperature,
+                        bilinear=bilinear)
+    valid = ~jnp.isnan(fidx) & ~jnp.isnan(parcel_temperature) & \
         ~jnp.isnan(parcel_pressure)
-    idx = jnp.where(valid, idx, 0)
+    fidx = jnp.where(valid, fidx, 0.0).astype(tables.curves.dtype)
 
     safe_p = jnp.where(jnp.isnan(pressure), P_TOP, pressure)
     if pointwise:
-        out = _interp_curve(tables, idx[..., None],
-                            safe_p[..., None])[..., 0]
+        out = _interp_curve(tables, fidx[..., None], safe_p[..., None],
+                            curve_blend=curve_blend)[..., 0]
     else:
-        out = _interp_curve(tables, idx, safe_p)
+        out = _interp_curve(tables, fidx, safe_p, curve_blend=curve_blend)
 
     in_range = (pressure >= P_BOT) & (pressure <= P_TOP)
     ok = in_range & ~jnp.isnan(pressure)
