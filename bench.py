@@ -1,0 +1,105 @@
+"""Benchmark: full conv_properties pipeline + surface CAPE/CIN on one chip.
+
+Prints ONE JSON line:
+  metric      — full ~20-variable diagnostics pipeline throughput, the
+                reference's headline benchmark (225 columns in 5.17 s
+                ~= 43.5 columns/sec on its 2-worker dask cluster;
+                BASELINE.md / parcel_functions_demo.ipynb cells 23/30)
+  vs_baseline — ours / 43.5
+  extra       — surface-based CAPE/CIN-only rate (the BASELINE.json
+                north-star metric, target 1e7 columns/sec/chip).
+
+Runs fp32 on the default backend (the real TPU chip under the driver).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_PIPELINE_COLS_PER_SEC = 225.0 / 5.17
+
+
+def synthetic(batch, L=90, seed=0):
+    from __graft_entry__ import _synthetic_columns
+    import jax.numpy as jnp
+    from xarray_parcel_tpu import thermo
+
+    p, t, td = _synthetic_columns((batch,), L=L, seed=seed)
+    q = np.asarray(thermo.specific_humidity_from_dewpoint(p, td))
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    rng = np.random.default_rng(seed + 1)
+    return {
+        'pressure': p, 'temperature': t,
+        'specific_humidity': q.astype(np.float32),
+        'height_asl': h.astype(np.float32),
+        'surface_wind_u': rng.normal(3, 2, (batch,)).astype(np.float32),
+        'surface_wind_v': rng.normal(0, 2, (batch,)).astype(np.float32),
+        'wind_u': rng.normal(8, 5, (batch, L)).astype(np.float32),
+        'wind_v': rng.normal(2, 5, (batch, L)).astype(np.float32),
+        'wind_height_above_surface': (h - h[..., :1]).astype(np.float32),
+    }
+
+
+def time_fn(fn, *args, iters=3):
+    import jax
+    out = fn(*args)           # compile + warm cache
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xarray_parcel_tpu import adiabat, cape, pipeline
+
+    tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
+    tables = jax.tree_util.tree_map(jax.device_put, tables)
+
+    # --- full pipeline (the reference's headline benchmark) ---
+    B_pipe = 1 << 16
+    dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
+
+    @jax.jit
+    def pipe(dat):
+        return pipeline.conv_properties(dat, tables=tables)
+
+    sec = time_fn(pipe, dat)
+    pipe_rate = B_pipe / sec
+
+    # --- surface-based CAPE/CIN only (the north-star metric) ---
+    B_cape = 1 << 21
+    p, t, td = (jnp.asarray(v) for v in
+                __import__('__graft_entry__')._synthetic_columns((B_cape,)))
+
+    @jax.jit
+    def sb(p, t, td):
+        res, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+        return res['cape'], res['cin']
+
+    sec_cape = time_fn(sb, p, t, td)
+    cape_rate = B_cape / sec_cape
+
+    print(json.dumps({
+        'metric': 'conv_properties_pipeline_columns_per_sec',
+        'value': round(pipe_rate, 1),
+        'unit': 'columns/sec/chip (90-level, ~20-var pipeline, fp32)',
+        'vs_baseline': round(pipe_rate / REF_PIPELINE_COLS_PER_SEC, 1),
+        'extra': {
+            'surface_cape_cin_columns_per_sec': round(cape_rate, 1),
+            'north_star_target': 1e7,
+            'pipeline_batch': B_pipe,
+            'cape_batch': B_cape,
+            'backend': jax.default_backend(),
+            'device': str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == '__main__':
+    main()

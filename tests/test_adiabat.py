@@ -125,8 +125,10 @@ def test_moist_lapse_pointwise(tables):
     p = jnp.array([1000.0, 900.0, 850.0])
     t = jnp.array([293.0, 290.0, 288.0])
     pw = adiabat.moist_lapse(p - 50.0, t, p, tables=tables)
+    # Profile mode evaluates spectrally, pointwise mode gathers from the
+    # dense curves — equal to table accuracy, not bitwise.
     full = adiabat.moist_lapse((p - 50.0)[:, None], t, p, tables=tables)
-    assert_array_almost_equal(np.asarray(pw), np.asarray(full)[:, 0], 10)
+    assert_array_almost_equal(np.asarray(pw), np.asarray(full)[:, 0], 3)
 
 
 def test_cape_table_vs_oracle(tables):

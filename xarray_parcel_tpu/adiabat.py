@@ -176,20 +176,87 @@ def build_lookup(curves):
     return jax.lax.map(per_pressure, curves.T, batch_size=128)
 
 
-class AdiabatTables:
-    """Device-resident moist-adiabat tables (a pytree of two arrays).
+# Spectral curve representation: Chebyshev coefficients of T(ln p) per
+# curve.  Evaluating a blended coefficient row on the VPU replaces per-level
+# random gathers from the 126 MB curve table with one contiguous ~200 B row
+# gather per column — the decisive TPU optimisation for the profile hot path.
+N_COEF = 48
+_LNP_LO = float(np.log(P_BOT))
+_LNP_HI = float(np.log(P_TOP))
 
-    ``curves``: (N_CURVES, N_PRES) float — curve temperature by pressure.
-    ``lookup``: (N_PRES, N_TEMP) int32 — nearest curve at a (p, T) cell, -1
-    where no curve passes.
+
+def _cheb_nodes(n_coef):
+    """Chebyshev-Gauss nodes mapped to log-pressure, descending in p."""
+    i = np.arange(n_coef)
+    u = np.cos(np.pi * (i + 0.5) / n_coef)          # 1 -> -1
+    lnp = 0.5 * (_LNP_HI + _LNP_LO) + 0.5 * (_LNP_HI - _LNP_LO) * u
+    return u, lnp
+
+
+def _cheb_transform_matrix(n_coef):
+    """DCT matrix: coefficients = M @ values-at-Gauss-nodes."""
+    i = np.arange(n_coef)
+    k = i[:, None]
+    M = (2.0 / n_coef) * np.cos(np.pi * k * (i + 0.5) / n_coef)
+    M[0] *= 0.5
+    return M
+
+
+def build_spectral(dtype=jnp.float32, n_coef=N_COEF, n_substeps=64):
+    """Chebyshev-fit every curve by integrating the ODE through the Gauss
+    nodes (no resampling error from the 0.5 hPa grid) and transforming on the
+    MXU.  Returns (N_CURVES, n_coef)."""
+    _, lnp_nodes = _cheb_nodes(n_coef)
+    t0 = curve_start_temperatures(dtype)
+
+    segs = jnp.asarray(
+        np.stack([np.concatenate([[np.log(P_TOP)], lnp_nodes[:-1]]),
+                  lnp_nodes], axis=1), dtype)
+
+    def step(t, seg):
+        t_new = integrate_between(t, seg[0], seg[1], n_substeps=n_substeps)
+        return t_new, t_new
+
+    _, t_nodes = jax.lax.scan(step, t0, segs)       # (n_coef, N_CURVES)
+    M = jnp.asarray(_cheb_transform_matrix(n_coef), dtype)
+    coeffs = jnp.matmul(M, t_nodes, precision='highest')
+    return coeffs.T.astype(dtype)                   # (N_CURVES, n_coef)
+
+
+def _eval_spectral(coeffs, pressure):
+    """Clenshaw evaluation of per-column Chebyshev coefficients (…, K) at
+    per-level pressures (…, L) — pure VPU arithmetic, fuses under XLA."""
+    lnp = jnp.log(pressure)
+    u = (2.0 * lnp - (_LNP_HI + _LNP_LO)) / (_LNP_HI - _LNP_LO)
+    u = jnp.clip(u, -1.0, 1.0)
+    K = coeffs.shape[-1]
+    b1 = jnp.zeros_like(u)
+    b2 = jnp.zeros_like(u)
+    two_u = 2.0 * u
+    for k in range(K - 1, 0, -1):
+        b1, b2 = coeffs[..., k:k + 1] + two_u * b1 - b2, b1
+    return coeffs[..., 0:1] + u * b1 - b2
+
+
+class AdiabatTables:
+    """Device-resident moist-adiabat tables (a pytree of three arrays).
+
+    ``curves``: (N_CURVES, N_PRES) float — curve temperature by pressure
+    (dense grid; used by the reference-faithful nearest modes and the
+    pointwise wet-bulb path).
+    ``lookup``: (N_PRES, N_TEMP) float32 — fractional curve index at a (p, T)
+    cell, NaN where no curve passes.
+    ``coeffs``: (N_CURVES, N_COEF) float — Chebyshev coefficients of
+    T(ln p) per curve (the profile hot path).
     """
 
-    def __init__(self, curves, lookup):
+    def __init__(self, curves, lookup, coeffs=None):
         self.curves = curves
         self.lookup = lookup
+        self.coeffs = coeffs
 
     def tree_flatten(self):
-        return (self.curves, self.lookup), None
+        return (self.curves, self.lookup, self.coeffs), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -198,22 +265,31 @@ class AdiabatTables:
     @classmethod
     def build(cls, dtype=jnp.float32):
         curves = generate_curves(dtype=dtype)
-        return cls(curves, build_lookup(curves))
+        return cls(curves, build_lookup(curves), build_spectral(dtype=dtype))
 
     def astype(self, dtype):
-        return AdiabatTables(self.curves.astype(dtype), self.lookup)
+        return AdiabatTables(self.curves.astype(dtype), self.lookup,
+                             None if self.coeffs is None
+                             else self.coeffs.astype(dtype))
 
     def save(self, path):
         np.savez_compressed(path, curves=np.asarray(self.curves),
-                            lookup=np.asarray(self.lookup))
+                            lookup=np.asarray(self.lookup),
+                            coeffs=np.asarray(self.coeffs))
 
     @classmethod
     def load(cls, path, dtype=None):
         with np.load(path) as f:
-            curves = jnp.asarray(f['curves'],
-                                 dtype=dtype or f['curves'].dtype)
-            lookup = jnp.asarray(f['lookup'])
-        return cls(curves, lookup)
+            curves = np.asarray(f['curves'])
+            lookup = np.asarray(f['lookup'])
+            coeffs = np.asarray(f['coeffs']) if 'coeffs' in f else None
+            if dtype is not None:
+                curves = curves.astype(dtype)
+                coeffs = None if coeffs is None else coeffs.astype(dtype)
+        if coeffs is None:
+            coeffs = build_spectral(dtype=dtype or curves.dtype)
+        return cls(jnp.asarray(curves), jnp.asarray(lookup),
+                   jnp.asarray(coeffs))
 
 
 jax.tree_util.register_pytree_node_class(AdiabatTables)
@@ -347,7 +423,16 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     fidx = jnp.where(valid, fidx, 0.0).astype(tables.curves.dtype)
 
     safe_p = jnp.where(jnp.isnan(pressure), P_TOP, pressure)
-    if pointwise:
+    spectral = (curve_blend and not pointwise
+                and getattr(tables, 'coeffs', None) is not None)
+    if spectral:
+        # Blend the two bracketing coefficient rows, evaluate via Clenshaw:
+        # one contiguous row-pair gather per column, zero per-level gathers.
+        c0 = jnp.clip(jnp.floor(fidx), 0, N_CURVES - 2).astype(jnp.int32)
+        a = jnp.clip(fidx - c0, 0.0, 1.0)[..., None]
+        row = (tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a)
+        out = _eval_spectral(row, safe_p)
+    elif pointwise:
         out = _interp_curve(tables, fidx[..., None], safe_p[..., None],
                             curve_blend=curve_blend)[..., 0]
     else:

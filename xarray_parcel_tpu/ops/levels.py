@@ -52,14 +52,18 @@ def insert_level(fields, level, coord='pressure'):
     j = jnp.arange(L + 1)
     below = j < idx[..., None]                                  # (…, L+1)
     at = j == idx[..., None]
-    src = jnp.clip(jnp.where(below, j, j - 1), 0, L - 1)
-    src = jnp.broadcast_to(src, p.shape[:-1] + (L + 1,))
 
+    # out[j] = v[j] below the insertion, the level at it, v[j-1] above — two
+    # static shifts + selects, no gather (TPU gathers are slow; this is the
+    # whole trick that makes the splice free under XLA fusion).
     out = {}
+    nan = jnp.full(p.shape[:-1] + (1,), jnp.nan, p.dtype)
     for k in level:
-        g = jnp.take_along_axis(fields[k], src, axis=-1)
-        g = jnp.where(at, jnp.asarray(level[k])[..., None], g)
-        out[k] = g
+        v = fields[k]
+        v_pad = jnp.concatenate([v, nan], axis=-1)      # v[j]
+        v_prev = jnp.concatenate([nan, v], axis=-1)     # v[j-1]
+        lvl = jnp.asarray(level[k])[..., None]
+        out[k] = jnp.where(below, v_pad, jnp.where(at, lvl, v_prev))
 
     # Variables at slots sourced from NaN-coordinate levels become NaN
     # (the reference's fill_value round-trip NaNs the whole slot).
@@ -87,14 +91,19 @@ def compact_left(fields, key, count_key_only=True):
     L = v.shape[-1]
     valid = ~jnp.isnan(v)
     lead = jnp.argmax(valid, axis=-1)                  # 0 if all-NaN (harmless)
-    j = jnp.arange(L)
-    src = j + lead[..., None]
-    in_range = src <= L - 1
-    src = jnp.clip(src, 0, L - 1)
-    out = {}
-    for k, arr in fields.items():
-        g = jnp.take_along_axis(arr, src, axis=-1)
-        out[k] = jnp.where(in_range, g, jnp.nan)
+
+    # Variable left-shift by binary decomposition: log2(L) static shifts with
+    # per-column selects instead of a per-element gather (slow on TPU).
+    out = {k: arr for k, arr in fields.items()}
+    shift, bit = lead, 0
+    while (1 << bit) < L:
+        step = 1 << bit
+        take = ((shift >> bit) & 1).astype(bool)[..., None]
+        for k, arr in out.items():
+            pad = jnp.full(arr.shape[:-1] + (step,), jnp.nan, arr.dtype)
+            shifted = jnp.concatenate([arr[..., step:], pad], axis=-1)
+            out[k] = jnp.where(take, shifted, arr)
+        bit += 1
     return out
 
 

@@ -1,0 +1,92 @@
+"""Device-mesh data parallelism over grid columns.
+
+The reference's only parallelism is dask chunk parallelism over lat/lon/time
+(reference: modules/parcel_functions.py:561-592, :667 and the LocalCluster
+setup in its notebooks).  The TPU-native mapping: columns are independent, so
+batch axes shard over a ``jax.sharding.Mesh`` (ICI within a slice, DCN across
+hosts) while the level axis stays whole on-chip; XLA inserts no collectives
+in the pipeline itself — communication appears only in explicit global
+reductions (validation statistics), done with ``psum``/``pmax`` under
+``shard_map``.
+
+The adiabat tables are replicated on every device (they are read-only,
+~130 MB fp32 — cheap against HBM) so every column's gathers stay local.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_names=('data',), shape=None):
+    """Build a mesh over ``devices`` (default: all) with the given axis
+    names; ``shape`` defaults to all devices on the first axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_spec(mesh, ndim, batch_dims=1):
+    """PartitionSpec sharding the leading ``batch_dims`` dims over the mesh
+    axes (one mesh axis per batch dim, in order), rest replicated."""
+    names = list(mesh.axis_names[:batch_dims])
+    spec = names + [None] * (ndim - len(names))
+    return P(*spec)
+
+
+def shard_batch(tree, mesh, batch_dims=1):
+    """device_put every array in a pytree with its leading batch dims sharded
+    over the mesh (the xarray->device ingest boundary)."""
+    def put(x):
+        x = jnp.asarray(x)
+        bd = min(batch_dims, max(x.ndim - 1, 0))
+        return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, x.ndim,
+                                                                bd)))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(tree, mesh):
+    """device_put a pytree fully replicated (for the adiabat tables)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def sharded_jit(fn, mesh, batch_dims=1, donate=False):
+    """jit ``fn`` so array args/outputs with >= batch_dims+1 dims shard their
+    leading batch dims over the mesh.  The closest analogue of the
+    reference's "open chunked + compute" pattern, compiled once."""
+    def wrapper(*args, **kwargs):
+        args = shard_batch(args, mesh, batch_dims)
+        kwargs = shard_batch(kwargs, mesh, batch_dims)
+        return jax.jit(fn)(*args, **kwargs)
+    return wrapper
+
+
+def global_stats(x, mesh, axis_name='data'):
+    """Cross-device statistics of a sharded field: (finite count, mean, max)
+    — the validation reductions that are this workload's only communication.
+    Collectives ride the mesh via shard_map + psum/pmax.
+    """
+    spec = batch_spec(mesh, x.ndim, 1)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=P())
+    def stats(shard):
+        finite = jnp.isfinite(shard)
+        cnt = jax.lax.psum(jnp.sum(finite), axis_name)
+        tot = jax.lax.psum(jnp.sum(jnp.where(finite, shard, 0.0)), axis_name)
+        mx = jax.lax.pmax(jnp.max(jnp.where(finite, shard, -jnp.inf)),
+                          axis_name)
+        return cnt, tot / jnp.maximum(cnt, 1), mx
+
+    return stats(x)
