@@ -1,0 +1,93 @@
+"""Reference-named parity tests.
+
+Every test here carries the exact name of a reference test whose behaviour is
+otherwise covered under a different name in this suite, so the reference's
+test list (reference: modules/unit_tests.py:19-77) maps 1:1 onto ours:
+
+* ``test_moist_lapse*`` — the reference runs these against the lookup-table
+  consumer at a loosened 2-decimal tolerance
+  (reference: modules/unit_tests.py:106-112 ``run_moist_lapse_tests_looser``,
+  demo notebook cell 35); exact-ODE-oracle variants live in
+  test_golden_metpy.py and dense accuracy sweeps in test_adiabat.py.
+* ``test_most_unstable_cape_cin`` — dead code in the reference (it calls an
+  undefined bare name, reference: modules/unit_tests.py:1131-1140); here it
+  runs for real against the MetPy truth values it quotes.
+* ``test_insert_level`` — the reference's 2-column duplicate-pressure case
+  (reference: modules/unit_tests.py:1388-1411); also covered by
+  test_ops.py::test_insert_level_golden.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal, assert_array_almost_equal
+
+from xarray_parcel_tpu import adiabat, api, ops
+
+
+@pytest.fixture(scope='module')
+def tables():
+    return adiabat.load_moist_adiabat_lookups()
+
+
+def test_moist_lapse(tables):
+    # reference: modules/unit_tests.py:166-170
+    levels = jnp.array([1000., 800., 600., 500., 400.])
+    temp = adiabat.moist_lapse(levels, 293.0, tables=tables)
+    assert_array_almost_equal(np.asarray(temp),
+                              [293, 284.64, 272.81, 264.42, 252.91], 2)
+
+
+def test_moist_lapse_ref_pres(tables):
+    # reference: modules/unit_tests.py:172-176
+    levels = jnp.array([1050., 800., 600., 500., 400.])
+    temp = adiabat.moist_lapse(levels, 293.0, 1000.0, tables=tables)
+    assert_array_almost_equal(np.asarray(temp),
+                              [294.76, 284.64, 272.81, 264.42, 252.91], 2)
+
+
+def test_moist_lapse_scalar(tables):
+    # reference: modules/unit_tests.py:178-182
+    temp = adiabat.moist_lapse(jnp.array([800.]), 293.0, 1000.0,
+                               tables=tables)
+    assert_array_almost_equal(np.asarray(temp), [284.64], 2)
+
+
+def test_moist_lapse_uniform(tables):
+    # reference: modules/unit_tests.py:184-188 (dp=7 there against the exact
+    # integrator; the table consumer holds it to table accuracy, and the
+    # oracle variant in test_golden_metpy.py keeps the 7-decimal check).
+    temp = adiabat.moist_lapse(jnp.array([900., 900., 900.]), 293.15,
+                               tables=tables)
+    assert_array_almost_equal(np.asarray(temp), [293.15] * 3, 2)
+
+
+def test_most_unstable_cape_cin():
+    # reference: modules/unit_tests.py:1131-1140 (dead code there; MetPy
+    # truths at its quoted values, 2 dp against our RK4 oracle).
+    levels = jnp.array([1000., 959., 867.9, 850., 825., 800.])
+    temps = jnp.array([18.2, 22.2, 17.4, 10., 0., 15.]) + 273.15
+    dews = jnp.array([19., 19., 14.3, 0., -10., 0.]) + 273.15
+    res, _, _ = api.most_unstable_cape_cin(
+        levels, temps, dews, virtual_temperature_correction=False,
+        lcl_interp='linear', moist_lapse=adiabat.moist_lapse_integrate)
+    assert_almost_equal(float(np.asarray(res['cape'])[()]), 157.11404, 2)
+    assert_almost_equal(float(np.asarray(res['cin'])[()]), -31.8406578, 2)
+
+
+def test_insert_level():
+    # reference: modules/unit_tests.py:1388-1411
+    fields = {'pressure': jnp.array([[1000., 900., 800., 700.],
+                                     [1000., 900., 800., 700.]]),
+              'temperature': jnp.ones((2, 4))}
+    level = {'pressure': jnp.array([1000., 600.]),
+             'temperature': jnp.array([1.5, 2.])}
+    res = ops.insert_level(fields, level)
+    np.testing.assert_array_equal(
+        np.asarray(res['pressure']),
+        [[1000., 1000., 900., 800., 700.],
+         [1000., 900., 800., 700., 600.]])
+    np.testing.assert_array_equal(
+        np.asarray(res['temperature']),
+        [[1., 1.5, 1., 1., 1.],
+         [1., 1., 1., 1., 2.]])
