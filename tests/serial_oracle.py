@@ -1,0 +1,228 @@
+"""Serial per-column CAPE/CIN oracle — the tier-2 integration-test reference.
+
+Plays the role of the reference's MetPy-backed serial oracles
+(reference: modules/parcel_test.py:68-248): an *independent* implementation
+of the surface-based CAPE/CIN algorithm in plain NumPy + SciPy, computed one
+column at a time with Python control flow.  Deliberately different numerics
+from the vectorised library:
+
+* moist lapse: ``scipy.integrate.solve_ivp`` (adaptive RK45) instead of the
+  library's fixed-step ``lax.scan`` RK4;
+* LCL: ``scipy.optimize.fixed_point`` instead of a fixed-count fori loop;
+* profile/LFC/EL/CAPE: explicit per-column lists, ``np.insert`` and Python
+  branch logic instead of fixed-shape masked reductions.
+
+Shared with the library are only the physical formulas (Bolton e_s, the
+pseudoadiabatic lapse rate, Poisson dry lapse, Doswell-Rasmussen virtual
+temperature) — those *define* MetPy-1.4.1 semantics, which both sides must
+implement.
+"""
+
+import numpy as np
+from scipy.integrate import solve_ivp
+from scipy.optimize import fixed_point
+
+R = 8.314462618
+Rd = R / 28.96546e-3
+Rv = R / 18.015268e-3
+Cp = 3.5 * Rd
+kappa = Rd / Cp
+eps = Rd / Rv
+Lv = 2.50084e6
+E0 = 6.112
+
+
+def es(t):
+    return E0 * np.exp(17.67 * (t - 273.15) / (t - 29.65))
+
+
+def dewpoint_from_e(e):
+    val = np.log(e / E0)
+    return 273.15 + 243.5 * val / (17.67 - val)
+
+
+def mixing_ratio_from_e(e, p):
+    return eps * e / (p - e)
+
+
+def sat_mixing_ratio(p, t):
+    return mixing_ratio_from_e(es(t), p)
+
+
+def mixing_ratio_rh_route(t, td, p):
+    # MetPy 1.4.1 approximate RH route (w = RH * w_s), as the reference uses.
+    return (es(td) / es(t)) * sat_mixing_ratio(p, t)
+
+
+def virtual_temperature(t, w):
+    return t * (1.0 + 0.608 * w)
+
+
+def dry_lapse(p, t0, p0):
+    return t0 * (p / p0) ** kappa
+
+
+def moist_lapse_rate(p, t):
+    rs = sat_mixing_ratio(p, t)
+    return ((Rd * t + Lv * rs) /
+            (Cp + (Lv * Lv * rs * eps / (Rd * t * t)))) / p
+
+
+def moist_lapse(pressures, t0, p0):
+    """Adaptive-step integration of the pseudoadiabat from (p0, t0) to each
+    of ``pressures`` (descending)."""
+    out = np.empty(len(pressures))
+    t, p = float(t0), float(p0)
+    for i, pk in enumerate(pressures):
+        if pk != p:
+            sol = solve_ivp(moist_lapse_rate, (p, pk), [t], method='RK45',
+                            rtol=1e-10, atol=1e-10)
+            t, p = float(sol.y[0, -1]), float(pk)
+        out[i] = t
+    return out
+
+
+def lcl(p0, t0, td0):
+    """MetPy-1.4.1 iterative LCL via scipy fixed_point."""
+    w = mixing_ratio_from_e(es(td0), p0)
+
+    def iterate(p):
+        e = p * w / (eps + w)
+        td = dewpoint_from_e(e)
+        return p0 * (td / t0) ** (1.0 / kappa)
+
+    lcl_p = float(fixed_point(iterate, p0, xtol=1e-9, maxiter=500))
+    lcl_t = float(dewpoint_from_e(lcl_p * w / (eps + w)))
+    return lcl_p, lcl_t
+
+
+def log_interp_point(x, coords, at):
+    """The reference's duplicate-aware log-pressure interpolation at a single
+    target, serial form (reference: modules/parcel_functions.py:1758-1828)."""
+    lc, lat = np.log(coords), np.log(at)
+    above = lc[lc >= lat]
+    below = lc[lc <= lat]
+    if len(above) == 0 or len(below) == 0:
+        return np.nan
+    cb, ca = above.min(), below.max()
+    xb = x[lc == cb].mean()
+    xa = x[lc == ca].mean()
+    if xb == xa:
+        return xb
+    return xb + (xa - xb) * (lat - cb) / (ca - cb)
+
+
+def surface_cape_cin_column(pressure, temperature, dewpoint,
+                            virtual_temperature_correction=True):
+    """Surface-based CAPE/CIN for one column, fully serial.
+
+    Mirrors the algorithm of reference: modules/parcel_functions.py
+    (parcel_profile_with_lcl -> lfc_el -> cape_cin_base) with Python control
+    flow.  Returns (cape, cin, lfc_pressure, el_pressure).
+    """
+    p = np.asarray(pressure, float)
+    t = np.asarray(temperature, float)
+    td = np.asarray(dewpoint, float)
+    p0, t0, td0 = p[0], t[0], td[0]
+
+    # --- parcel profile with LCL spliced in ---
+    lcl_p, lcl_t = lcl(p0, t0, td0)
+    prof = np.where(p >= lcl_p, dry_lapse(p, t0, p0),
+                    moist_lapse(p, lcl_t, lcl_p))
+
+    # insertion index: levels with coord >= new coord stay below
+    k = int(np.sum(p >= lcl_p))
+    pp = np.insert(p, k, lcl_p)
+    prof = np.insert(prof, k, lcl_t)
+    t_env = np.insert(t, k, log_interp_point(t, p, lcl_p))
+    td_env = np.insert(td, k, log_interp_point(td, p, lcl_p))
+
+    # virtual-temperature tracks
+    w0 = mixing_ratio_rh_route(t0, td0, p0)
+    # At the LCL slot itself (pp == lcl_p) the saturated branch applies
+    # (the reference switches on pressure <= lcl_p,
+    # reference: modules/parcel_functions.py:758-777).
+    w_parcel = np.where(pp > lcl_p, w0, sat_mixing_ratio(pp, prof))
+    prof_v = virtual_temperature(prof, w_parcel)
+    env_v = virtual_temperature(t_env, mixing_ratio_rh_route(t_env, td_env,
+                                                             pp))
+    lcl_w = mixing_ratio_rh_route(lcl_t, lcl_t, lcl_p)
+    lcl_vt = virtual_temperature(lcl_t, lcl_w)
+
+    if virtual_temperature_correction:
+        track_parcel, track_env, track_lcl_t = prof_v, env_v, lcl_vt
+    else:
+        track_parcel, track_env, track_lcl_t = prof, t_env, lcl_t
+
+    # --- LFC / EL (reference :1066-1198) ---
+    lx = np.log(pp)
+    d = track_parcel - track_env
+    crossings = []           # (log_p, direction) at the after-index level
+    for i in range(len(pp) - 1):
+        if np.sign(d[i]) != np.sign(d[i + 1]):
+            cx = (d[i + 1] * lx[i] - d[i] * lx[i + 1]) / (d[i + 1] - d[i])
+            crossings.append((np.exp(cx), np.sign(d[i + 1]), i))
+
+    use = crossings
+    if d[0] == 0.0:          # equal first level: ignore gap 0
+        use = [c for c in crossings if c[2] >= 1]
+
+    inc = [c[0] for c in use if c[1] > 0 and c[0] < lcl_p]
+    lfc_p = max(inc) if inc else np.nan
+
+    dec = [c[0] for c in crossings if c[2] >= 1 and c[1] < 0]
+    el_p = min(dec) if dec else np.nan
+    finite = ~np.isnan(track_parcel) & ~np.isnan(track_env)
+    top = np.min(pp[finite])
+    top_colder = (track_parcel[pp == top][-1] <= track_env[pp == top][-1])
+    if not (top_colder and el_p < lcl_p):
+        el_p = np.nan
+
+    # LCL substitution rules
+    any_inc = any(c[1] > 0 for c in use)
+    above = pp < lcl_p
+    pos_parcel = np.any(track_parcel[above] > track_env[above])
+    if (not any_inc and pos_parcel) or \
+       (any_inc and np.isnan(lfc_p) and el_p < lcl_p):
+        lfc_p = lcl_p
+
+    # --- CAPE/CIN (reference :1291-1392) ---
+    el_eff = np.min(pp) if np.isnan(el_p) else el_p
+
+    # zero-crossing rectangles (reference trap_around_zeros :1200-1289)
+    rects = []               # (position_exp, area)
+    gap_has_cross = np.zeros(len(pp) - 1, bool)
+    for i in range(len(pp) - 1):
+        if np.sign(d[i]) != np.sign(d[i + 1]) and np.isfinite(d[i]) and \
+           np.isfinite(d[i + 1]):
+            cx = (d[i + 1] * lx[i] - d[i] * lx[i + 1]) / (d[i + 1] - d[i])
+            gap_has_cross[i] = True
+            for xa, ya in ((lx[i], d[i]), (lx[i + 1], d[i + 1])):
+                dxr = xa - cx
+                rects.append((np.exp(xa - dxr / 2.0),
+                              (ya / 2.0) * abs(dxr)))
+
+    def trapz_between(p_hi, p_lo, positive=None):
+        total = 0.0
+        for i in range(len(pp) - 1):
+            if gap_has_cross[i]:
+                continue
+            if pp[i] <= p_hi and pp[i + 1] >= p_lo:
+                a = abs(lx[i + 1] - lx[i]) * 0.5 * (d[i] + d[i + 1])
+                if np.isnan(a):
+                    continue
+                if positive is True and a <= 0:
+                    continue
+                if positive is False and a >= 0:
+                    continue
+                total += a
+        return total
+
+    if np.isnan(lfc_p):
+        return 0.0, 0.0, lfc_p, el_p
+
+    cape = trapz_between(lfc_p, el_eff, positive=True)
+    cape += sum(a for (x, a) in rects if el_eff <= x <= lfc_p and a > 0)
+    cin = trapz_between(np.inf, lfc_p, positive=False)
+    cin += sum(a for (x, a) in rects if x >= lfc_p and a < 0)
+    return Rd * cape, Rd * cin, lfc_p, el_p
