@@ -13,6 +13,7 @@ Runs fp32 on the default backend (the real TPU chip under the driver).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -20,13 +21,23 @@ import numpy as np
 REF_PIPELINE_COLS_PER_SEC = 225.0 / 5.17
 
 
+def log(msg):
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def synthetic(batch, L=90, seed=0):
     from __graft_entry__ import _synthetic_columns
-    import jax.numpy as jnp
-    from xarray_parcel_tpu import thermo
 
     p, t, td = _synthetic_columns((batch,), L=L, seed=seed)
-    q = np.asarray(thermo.specific_humidity_from_dewpoint(p, td))
+    # q from dewpoint, pure NumPy (host-side data prep must not dispatch
+    # eager device ops: each one pays a full compile over the axon tunnel).
+    e = 6.112 * np.exp(17.67 * (td - 273.15) / (td - 29.65))
+    w = 0.6219569100577033 * e / (p - e)
+    q = w / (1.0 + w)
     h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
     rng = np.random.default_rng(seed + 1)
     return {
@@ -43,8 +54,10 @@ def synthetic(batch, L=90, seed=0):
 
 def time_fn(fn, *args, iters=3):
     import jax
+    t0 = time.perf_counter()
     out = fn(*args)           # compile + warm cache
     jax.block_until_ready(out)
+    log(f'  compile+first run: {time.perf_counter() - t0:.1f}s')
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -52,17 +65,43 @@ def time_fn(fn, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+def wait_for_backend(tries=8, probe_timeout=75):
+    """PJRT client creation over the axon tunnel occasionally hangs for
+    minutes (e.g. right after a previous process was killed).  Probe it in a
+    subprocess with a timeout until it answers, so the real run's init is
+    near-certain to succeed immediately."""
+    import subprocess
+    import sys as _sys
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [_sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                log(f'backend probe ok (attempt {i + 1})')
+                return
+            log(f'backend probe exit {r.returncode} (attempt {i + 1})')
+        except subprocess.TimeoutExpired:
+            log(f'backend probe timed out (attempt {i + 1})')
+    log('backend probe never succeeded; proceeding anyway')
+
+
 def main():
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
     from xarray_parcel_tpu import adiabat, cape, pipeline
 
+    log(f'backend={jax.default_backend()} devices={jax.devices()}')
     tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
     tables = jax.tree_util.tree_map(jax.device_put, tables)
+    jax.block_until_ready(tables.curves)
+    log('tables loaded + device_put')
 
     # --- full pipeline (the reference's headline benchmark) ---
-    B_pipe = 1 << 16
+    B_pipe = 1 << 15
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
     @jax.jit
@@ -71,9 +110,11 @@ def main():
 
     sec = time_fn(pipe, dat)
     pipe_rate = B_pipe / sec
+    log(f'pipeline: {sec:.3f}s/iter at B={B_pipe} '
+        f'({pipe_rate:.3g} cols/sec)')
 
     # --- surface-based CAPE/CIN only (the north-star metric) ---
-    B_cape = 1 << 21
+    B_cape = 1 << 20
     p, t, td = (jnp.asarray(v) for v in
                 __import__('__graft_entry__')._synthetic_columns((B_cape,)))
 
@@ -84,6 +125,8 @@ def main():
 
     sec_cape = time_fn(sb, p, t, td)
     cape_rate = B_cape / sec_cape
+    log(f'cape: {sec_cape:.3f}s/iter at B={B_cape} '
+        f'({cape_rate:.3g} cols/sec)')
 
     print(json.dumps({
         'metric': 'conv_properties_pipeline_columns_per_sec',
