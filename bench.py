@@ -92,7 +92,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from xarray_parcel_tpu import adiabat, cape, pipeline
+    from xarray_parcel_tpu import adiabat, cape, fused, pipeline
 
     log(f'backend={jax.default_backend()} devices={jax.devices()}')
     tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
@@ -120,13 +120,21 @@ def main():
 
     @jax.jit
     def sb(p, t, td):
-        res, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+        res, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
         return res['cape'], res['cin']
 
     sec_cape = time_fn(sb, p, t, td)
     cape_rate = B_cape / sec_cape
-    log(f'cape: {sec_cape:.3f}s/iter at B={B_cape} '
+    log(f'cape (fused pallas): {sec_cape:.3f}s/iter at B={B_cape} '
         f'({cape_rate:.3g} cols/sec)')
+
+    @jax.jit
+    def sb_xla(p, t, td):
+        res, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+        return res['cape'], res['cin']
+
+    sec_xla = time_fn(sb_xla, p, t, td)
+    log(f'cape (xla): {sec_xla:.3f}s/iter ({B_cape / sec_xla:.3g} cols/sec)')
 
     print(json.dumps({
         'metric': 'conv_properties_pipeline_columns_per_sec',
@@ -135,6 +143,8 @@ def main():
         'vs_baseline': round(pipe_rate / REF_PIPELINE_COLS_PER_SEC, 1),
         'extra': {
             'surface_cape_cin_columns_per_sec': round(cape_rate, 1),
+            'surface_cape_cin_xla_columns_per_sec': round(B_cape / sec_xla,
+                                                          1),
             'north_star_target': 1e7,
             'pipeline_batch': B_pipe,
             'cape_batch': B_cape,

@@ -1,0 +1,80 @@
+"""Fused Pallas CAPE kernel vs the unfused XLA path (interpret mode on CPU).
+
+The kernel body reuses the same column program, so agreement must be exact
+up to float associativity.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xarray_parcel_tpu import adiabat, cape, fused
+
+
+@pytest.fixture(scope='module')
+def tables():
+    return adiabat.load_moist_adiabat_lookups()
+
+
+def _grid(B=96, L=48, seed=3):
+    rng = np.random.default_rng(seed)
+    p = np.linspace(1010.0, 150.0, L)
+    p = np.broadcast_to(p, (B, L)) + rng.normal(0, 0.4, (B, L))
+    p = -np.sort(-p, axis=-1)
+    t = 302.0 - 76.0 * (1.0 - (p / 1010.0) ** 0.3) + rng.normal(0, 2, (B, L))
+    td = t - np.abs(rng.normal(2.0, 2.0, (B, L))) - 0.2 \
+        - 15.0 * (1.0 - p / 1010.0) ** 2
+    return jnp.asarray(p), jnp.asarray(t), jnp.asarray(td)
+
+
+def test_fused_matches_unfused(tables):
+    p, t, td = _grid()
+    res_f, sol_f = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    res_u, prof = cape.surface_based_cape_cin(p, t, td, tables=tables)
+    np.testing.assert_allclose(np.asarray(res_f['cape']),
+                               np.asarray(res_u['cape']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f['cin']),
+                               np.asarray(res_u['cin']), atol=1e-6)
+    for k in ('lfc_pressure', 'el_pressure'):
+        a, b = np.asarray(sol_f[k]), np.asarray(prof[k])
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-6)
+
+
+def test_fused_nan_column(tables):
+    p, t, td = _grid(B=16)
+    t = t.at[3].set(jnp.nan)
+    td = td.at[7, 0].set(jnp.nan)
+    res_f, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    res_u, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+    np.testing.assert_allclose(np.asarray(res_f['cape']),
+                               np.asarray(res_u['cape']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f['cin']),
+                               np.asarray(res_u['cin']), atol=1e-6)
+
+
+def test_fused_padding_and_batch_shape(tables):
+    # Non-multiple batch + multidimensional batch dims round-trip.
+    p, t, td = _grid(B=70)
+    p2 = p.reshape(7, 10, -1)
+    t2 = t.reshape(7, 10, -1)
+    td2 = td.reshape(7, 10, -1)
+    res2, _ = fused.fused_surface_cape_cin(p2, t2, td2, tables=tables,
+                                           block_columns=32)
+    res1, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables,
+                                           block_columns=32)
+    np.testing.assert_allclose(np.asarray(res2['cape']).reshape(-1),
+                               np.asarray(res1['cape']), atol=1e-6)
+
+
+def test_fused_golden(tables):
+    # The reference's golden surface-parcel sounding
+    # (reference: modules/unit_tests.py:940-951): cape 230.20, cin -58.07.
+    levels = jnp.array([[959., 779.2, 751.3, 724.3, 700., 269.]])
+    temps = jnp.array([[22.2, 14.6, 12., 9.4, 7., -38.]]) + 273.15
+    dews = jnp.array([[19., -11.2, -10.8, -10.4, -10., -53.2]]) + 273.15
+    res, _ = fused.fused_surface_cape_cin(levels, temps, dews,
+                                          tables=tables, block_columns=8)
+    assert abs(float(res['cape'][0]) - 230.20) < 0.5
+    assert abs(float(res['cin'][0]) - (-58.07)) < 0.5

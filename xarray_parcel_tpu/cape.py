@@ -85,7 +85,9 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     # LCL substitution rules (USAF1990; reference :1160-1185).
     lfc_missing = jnp.isnan(nanmax(ints_sel['increasing_x']))
     above = p < lcl_p[..., None]
-    pos_parcel = jnp.any(jnp.where(above, pt > t, False), axis=-1)
+    # (pt > t is False for NaN pairs, so plain & matches the reference's
+    # where().any(); boolean select ops do not lower inside Pallas.)
+    pos_parcel = jnp.any(above & (pt > t), axis=-1)
     no_lfc_pos_parcel = pos_parcel & lfc_missing
 
     exists_but_na = ~lfc_missing & jnp.isnan(lfc_p)

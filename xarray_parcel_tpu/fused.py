@@ -1,0 +1,190 @@
+"""Fused Pallas production kernel for surface-based CAPE/CIN.
+
+The reference's one native kernel is a numba gufunc for curve interpolation
+(reference: modules/parcel_functions.py:23-37); its TPU equivalent here goes
+further: a single Pallas kernel evaluates the ENTIRE per-column CAPE/CIN
+solve — parcel profile (dry + spectral moist tracks), virtual-temperature
+tracks, LCL splice, LFC/EL selection and the exact-area CAPE/CIN
+integration — for a block of columns resident in VMEM, with one HBM read of
+(pressure, temperature, dewpoint) and one scalar write per output.  The
+XLA path materialises ~40 (batch, levels) intermediates in HBM; the fused
+kernel touches HBM ~5 times total.
+
+The kernel body calls the SAME jnp column program as the unfused path
+(thermo / ops / cape functions are shape-polymorphic and trace fine inside
+Pallas), so there is exactly one source of truth for the physics and the
+reference semantics; Pallas contributes only the memory schedule.
+
+Stages that need gathers or per-column scalar iteration (the LCL fixed
+point, the backward curve-index integration, the coefficient-row blend)
+stay in XLA in front of the kernel — they are cheap (O(batch) work) and
+gathers do not belong in VMEM kernels.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import adiabat, thermo
+from .adiabat import N_CURVES, P_BOT, P_TOP, _eval_spectral
+from .cape import cape_cin_base, lfc_el
+from .lcl import lcl
+from .ops import insert_level, linear_interp, log_interp
+
+
+def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
+                    virtual_temperature_correction=True, lcl_interp='log',
+                    **cape_kwargs):
+    """The per-column-block CAPE/CIN program on plain jnp values.
+
+    ``p``/``t``/``td``: (TB, L); ``row``: (TB, K) blended Chebyshev
+    coefficient rows (NaN row = invalid/out-of-envelope parcel);
+    remaining args: (TB,) per-column scalars.  Mirrors
+    cape.cape_cin(...) with the surface parcel
+    (reference: modules/parcel_functions.py:712-780, 806-931, 1394-1514).
+    """
+    lcl_pb = lcl_p[..., None]
+
+    # Parcel temperature track: dry below the LCL, spectral moist above.
+    dry = thermo.dry_lapse(p, t0[..., None], p0[..., None])
+    safe_p = jnp.where(jnp.isnan(p), P_TOP, p)
+    moist = _eval_spectral(row, safe_p)
+    moist = jnp.where((p >= P_BOT) & (p <= P_TOP), moist, jnp.nan)
+    temp = jnp.where(p >= lcl_pb, dry, moist)
+
+    # Mixing ratio: parcel's below the LCL, saturated above; virtual temps.
+    sat_w = thermo.saturation_mixing_ratio(p, temp)
+    w = jnp.where(p <= lcl_pb, sat_w, w0[..., None])
+    vt = thermo.virtual_temperature(temp, w)
+    env_vt = thermo.virtual_temperature(t, thermo.mixing_ratio(t, td, p))
+
+    # Environment interpolated at the LCL; env virtual T recomputed there.
+    interp = log_interp if lcl_interp == 'log' else linear_interp
+    t_at = interp(t, p, lcl_p)
+    td_at = interp(td, p, lcl_p)
+    envvt_at = thermo.virtual_temperature(
+        t_at, thermo.mixing_ratio(t_at, td_at, lcl_p))
+    envt_at = t_at
+
+    if virtual_temperature_correction:
+        parcel_track, env_track, lcl_track = vt, env_vt, lcl_vt
+        env_at = envvt_at
+    else:
+        parcel_track, env_track, lcl_track = temp, t, lcl_t
+        env_at = envt_at
+
+    ins = insert_level(
+        {'pressure': p, 'parcel': parcel_track, 'env': env_track},
+        {'pressure': lcl_p, 'parcel': lcl_track, 'env': env_at})
+
+    sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
+                 lcl_track)
+    res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
+                        sol['el_pressure'], ins['parcel'], **cape_kwargs)
+    return res, sol
+
+
+def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, cape_ref, cin_ref,
+            lfcp_ref, lfct_ref, elp_ref, elt_ref, **kwargs):
+    sc = sc_ref[:]
+    res, sol = _column_program(
+        p_ref[:], t_ref[:], td_ref[:], row_ref[:],
+        sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3], sc[:, 4], sc[:, 5],
+        **kwargs)
+    cape_ref[:] = res['cape'][..., None]
+    cin_ref[:] = res['cin'][..., None]
+    lfcp_ref[:] = sol['lfc_pressure'][..., None]
+    lfct_ref[:] = sol['lfc_temperature'][..., None]
+    elp_ref[:] = sol['el_pressure'][..., None]
+    elt_ref[:] = sol['el_temperature'][..., None]
+
+
+def fused_surface_cape_cin(pressure, temperature, dewpoint, tables=None,
+                           block_columns=256, interpret=None, **kwargs):
+    """Surface-based CAPE/CIN via the fused Pallas kernel.
+
+    Drop-in for ``cape.surface_based_cape_cin`` when only the CAPE/CIN
+    numbers and LFC/EL are needed (it does not materialise the profile —
+    that is the point).  Returns (res dict, solution dict), each of (…)
+    arrays matching the input batch shape.
+
+    ``interpret`` defaults to True off-TPU so the same code runs under the
+    CPU test harness.
+    """
+    if tables is None:
+        tables = adiabat.default_tables()
+    p = jnp.asarray(pressure)
+    t = jnp.asarray(temperature)
+    td = jnp.asarray(dewpoint)
+    batch_shape = p.shape[:-1]
+    L = p.shape[-1]
+    p = p.reshape((-1, L))
+    t = jnp.broadcast_to(t, batch_shape + (L,)).reshape((-1, L))
+    td = jnp.broadcast_to(td, batch_shape + (L,)).reshape((-1, L))
+    B = p.shape[0]
+
+    # --- XLA pre-pass: per-column scalars (O(B) work, no (B, L) traffic) ---
+    p0, t0, td0 = p[:, 0], t[:, 0], td[:, 0]
+    lcls = lcl(p0, t0, td0)
+    lcl_p = lcls['lcl_pressure']
+    w0 = thermo.mixing_ratio(t0, td0, p0)
+    fidx = adiabat.curve_index_integrate(lcl_p, lcls['lcl_temperature'])
+    c0 = jnp.clip(jnp.floor(jnp.where(jnp.isnan(fidx), 0.0, fidx)), 0,
+                  N_CURVES - 2).astype(jnp.int32)
+    a = jnp.clip(fidx - c0, 0.0, 1.0)[..., None]
+    row = tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a
+    row = jnp.where(jnp.isnan(fidx)[..., None], jnp.nan, row)
+    K = row.shape[-1]
+
+    scalars = jnp.stack([lcl_p, lcls['lcl_temperature'],
+                         lcls['lcl_virtual_temperature'], w0, t0, p0],
+                        axis=-1)                       # (B, 6)
+
+    # --- pad the column count to a whole number of blocks (NaN columns) ---
+    TB = min(block_columns, max(8, B))
+    pad = (-B) % TB
+    if pad:
+        p = jnp.pad(p, ((0, pad), (0, 0)), constant_values=jnp.nan)
+        t = jnp.pad(t, ((0, pad), (0, 0)), constant_values=jnp.nan)
+        td = jnp.pad(td, ((0, pad), (0, 0)), constant_values=jnp.nan)
+        row = jnp.pad(row, ((0, pad), (0, 0)), constant_values=jnp.nan)
+        scalars = jnp.pad(scalars, ((0, pad), (0, 0)),
+                          constant_values=jnp.nan)
+    BP = B + pad
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * 6
+    out_specs = [pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 6
+    outs = pl.pallas_call(
+        functools.partial(_kernel, **kwargs),
+        grid=(BP // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 6), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(p, t, td, row, scalars)
+
+    def shape(x):
+        return x[:B, 0].reshape(batch_shape)
+
+    res = {'cape': shape(outs[0]), 'cin': shape(outs[1])}
+    sol = {'lfc_pressure': shape(outs[2]), 'lfc_temperature': shape(outs[3]),
+           'el_pressure': shape(outs[4]), 'el_temperature': shape(outs[5])}
+    return res, sol

@@ -92,11 +92,14 @@ def trap_around_zeros(x, y, log_x=True, start=0):
         'x_to': pos + dx / 2.0,
     }
 
-    n_gaps = x.shape[-1] - 1
-    gap_mask = jnp.ones(jnp.broadcast_shapes(x.shape, y.shape), bool)[..., 1:]
+    # Gaps before ``start`` always contribute to the trapezoid sum.  (Built
+    # by broadcast+concat, not jnp.ones(bool): an i8->i1 cast does not lower
+    # inside Pallas kernels.)
     if start:
-        gap_mask = gap_mask.at[..., start:].set(~crossing)
+        full = jnp.broadcast_shapes(x.shape, y.shape)
+        lead = jnp.broadcast_to(jnp.asarray(True), full[:-1] + (start,))
+        gap_mask = jnp.concatenate([lead, ~crossing], axis=-1)
     else:
         gap_mask = ~crossing
-    assert gap_mask.shape[-1] == n_gaps
+    assert gap_mask.shape[-1] == x.shape[-1] - 1
     return areas, gap_mask
