@@ -14,6 +14,6 @@ in kg/kg (the reference's implicit unit convention).
 
 from . import constants, thermo, ops
 from . import adiabat, lcl, profile, parcels, cape, diagnostics, pipeline
-from . import api, fieldset
+from . import api, fieldset, fused, xarray_api
 
 __version__ = '0.1.0'
