@@ -121,12 +121,14 @@ def valid_data(dat, strict=True):
     strictly decreasing along the level axis (NaN padding allowed at the top)
     (reference: modules/parcel_functions.py:2308-2321).
 
-    Host-side check (not jittable); returns True or raises AssertionError.
+    Host-side check via the native C++ ingest runtime (not jittable);
+    returns the per-column validity mask, raising on any invalid column when
+    ``strict``.
     """
+    from . import native
     p = np.asarray(dat['pressure'] if isinstance(dat, dict) else dat)
-    d = np.diff(p, axis=-1)
-    bad = d >= 0
+    ok = native.validate_columns(p)
     if strict:
-        assert not np.any(bad[~np.isnan(d)]), \
+        assert np.all(ok), \
             'Pressures must decrease with increasing level number.'
-    return True
+    return ok

@@ -27,6 +27,7 @@ import functools
 import jax
 import numpy as np
 
+from . import native
 from . import pipeline as _pipeline
 from .adiabat import load_moist_adiabat_lookups  # noqa: F401  (re-export)
 from .fieldset import attrs_for
@@ -71,10 +72,14 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     fields = {}
     for name in names:
         da = dat[name]
-        dims = tuple(d for d in da.dims if d != vert_dim)
-        da = da.transpose(*dims, *((vert_dim,) if vert_dim in da.dims
-                                   else ()))
-        fields[name] = np.asarray(da.values)
+        if vert_dim in da.dims and da.dims[0] == vert_dim and da.ndim > 1:
+            # Native repack: leading level axis -> trailing, f32 (native/).
+            fields[name] = native.levels_to_last(np.asarray(da.values))
+        else:
+            dims = tuple(d for d in da.dims if d != vert_dim)
+            da = da.transpose(*dims, *((vert_dim,) if vert_dim in da.dims
+                                       else ()))
+            fields[name] = native.repack_to_f32(np.asarray(da.values))
 
     if mesh is not None:
         from .parallel import shard_batch
