@@ -1,0 +1,52 @@
+"""Fused-pipeline variant vs the modular pipeline (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xarray_parcel_tpu import adiabat, pipeline
+
+
+@pytest.fixture(scope='module')
+def tables():
+    return adiabat.load_moist_adiabat_lookups()
+
+
+@pytest.fixture(scope='module')
+def dat():
+    rng = np.random.default_rng(11)
+    B, L = 48, 44
+    p = np.linspace(1007.0, 160.0, L)
+    p = np.broadcast_to(p, (B, L)) + rng.normal(0, 0.3, (B, L))
+    p = -np.sort(-p, axis=-1)
+    t = 301.0 - 75.0 * (1.0 - (p / 1007.0) ** 0.3) + rng.normal(0, 2, (B, L))
+    td = t - (np.abs(rng.normal(2, 2, (B, L))) + 0.3 +
+              14.0 * (1.0 - p / 1007.0) ** 2)
+    e = 6.112 * np.exp(17.67 * (td - 273.15) / (td - 29.65))
+    w = 0.6219569100577033 * e / (p - e)
+    q = w / (1.0 + w)
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    t[0, 3] = np.nan              # one poisoned column
+    return {k: jnp.asarray(v) for k, v in {
+        'pressure': p, 'temperature': t, 'specific_humidity': q,
+        'height_asl': h,
+        'surface_wind_u': rng.normal(3, 2, (B,)),
+        'surface_wind_v': rng.normal(0, 2, (B,)),
+        'wind_u': rng.normal(8, 5, (B, L)),
+        'wind_v': rng.normal(2, 5, (B, L)),
+        'wind_height_above_surface': h - h[..., :1],
+    }.items()}
+
+
+def test_fused_pipeline_matches_modular(tables, dat):
+    ref = pipeline.conv_properties(dat, tables=tables)
+    got = pipeline.conv_properties_fused(dat, tables=tables)
+    assert set(got) == set(ref)
+    for k in sorted(ref):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-6, rtol=1e-9, err_msg=k)

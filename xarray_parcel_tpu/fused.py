@@ -37,14 +37,16 @@ from .ops import insert_level, linear_interp, log_interp
 
 def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
                     virtual_temperature_correction=True, lcl_interp='log',
-                    **cape_kwargs):
+                    with_lifted_index=False, **cape_kwargs):
     """The per-column-block CAPE/CIN program on plain jnp values.
 
     ``p``/``t``/``td``: (TB, L); ``row``: (TB, K) blended Chebyshev
     coefficient rows (NaN row = invalid/out-of-envelope parcel);
     remaining args: (TB,) per-column scalars.  Mirrors
-    cape.cape_cin(...) with the surface parcel
-    (reference: modules/parcel_functions.py:712-780, 806-931, 1394-1514).
+    cape.cape_cin(...) for an arbitrary parcel
+    (reference: modules/parcel_functions.py:712-780, 806-931, 1394-1475).
+    With ``with_lifted_index`` also returns the Galway lifted index from the
+    real-temperature tracks (reference: :1722-1756).
     """
     lcl_pb = lcl_p[..., None]
 
@@ -76,40 +78,51 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
         parcel_track, env_track, lcl_track = temp, t, lcl_t
         env_at = envt_at
 
-    ins = insert_level(
-        {'pressure': p, 'parcel': parcel_track, 'env': env_track},
-        {'pressure': lcl_p, 'parcel': lcl_track, 'env': env_at})
+    fields = {'pressure': p, 'parcel': parcel_track, 'env': env_track}
+    level = {'pressure': lcl_p, 'parcel': lcl_track, 'env': env_at}
+    if with_lifted_index:
+        fields.update(ptemp=temp, etemp=t)
+        level.update(ptemp=lcl_t, etemp=envt_at)
+    ins = insert_level(fields, level)
 
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
                  lcl_track)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
                         sol['el_pressure'], ins['parcel'], **cape_kwargs)
+    if with_lifted_index:
+        res['lifted_index'] = (
+            log_interp(ins['etemp'], ins['pressure'], 500.0) -
+            log_interp(ins['ptemp'], ins['pressure'], 500.0))
     return res, sol
 
 
-def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, cape_ref, cin_ref,
-            lfcp_ref, lfct_ref, elp_ref, elt_ref, **kwargs):
+def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
+            with_lifted_index=False, **kwargs):
     sc = sc_ref[:]
     res, sol = _column_program(
         p_ref[:], t_ref[:], td_ref[:], row_ref[:],
         sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3], sc[:, 4], sc[:, 5],
-        **kwargs)
-    cape_ref[:] = res['cape'][..., None]
-    cin_ref[:] = res['cin'][..., None]
-    lfcp_ref[:] = sol['lfc_pressure'][..., None]
-    lfct_ref[:] = sol['lfc_temperature'][..., None]
-    elp_ref[:] = sol['el_pressure'][..., None]
-    elt_ref[:] = sol['el_temperature'][..., None]
+        with_lifted_index=with_lifted_index, **kwargs)
+    vals = [res['cape'], res['cin'], sol['lfc_pressure'],
+            sol['lfc_temperature'], sol['el_pressure'],
+            sol['el_temperature']]
+    if with_lifted_index:
+        vals.append(res['lifted_index'])
+    for ref, val in zip(out_refs, vals):
+        ref[:] = val[..., None]
 
 
-def fused_surface_cape_cin(pressure, temperature, dewpoint, tables=None,
-                           block_columns=256, interpret=None, **kwargs):
-    """Surface-based CAPE/CIN via the fused Pallas kernel.
+def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
+                   parcel_temperature=None, parcel_dewpoint=None,
+                   tables=None, block_columns=256, interpret=None,
+                   with_lifted_index=False, **kwargs):
+    """CAPE/CIN for an arbitrary parcel via the fused Pallas kernel.
 
-    Drop-in for ``cape.surface_based_cape_cin`` when only the CAPE/CIN
-    numbers and LFC/EL are needed (it does not materialise the profile —
-    that is the point).  Returns (res dict, solution dict), each of (…)
-    arrays matching the input batch shape.
+    Drop-in for ``cape.cape_cin`` when only the CAPE/CIN numbers, LFC/EL
+    (and optionally the lifted index) are needed — it does not materialise
+    the profile, that is the point.  Parcel state defaults to the lowest
+    level (surface-based).  Returns (res dict, solution dict) of (…) arrays
+    matching the input batch shape.
 
     ``interpret`` defaults to True off-TPU so the same code runs under the
     CPU test harness.
@@ -117,17 +130,25 @@ def fused_surface_cape_cin(pressure, temperature, dewpoint, tables=None,
     if tables is None:
         tables = adiabat.default_tables()
     p = jnp.asarray(pressure)
-    t = jnp.asarray(temperature)
-    td = jnp.asarray(dewpoint)
     batch_shape = p.shape[:-1]
     L = p.shape[-1]
     p = p.reshape((-1, L))
-    t = jnp.broadcast_to(t, batch_shape + (L,)).reshape((-1, L))
-    td = jnp.broadcast_to(td, batch_shape + (L,)).reshape((-1, L))
+    t = jnp.broadcast_to(jnp.asarray(temperature),
+                         batch_shape + (L,)).reshape((-1, L))
+    td = jnp.broadcast_to(jnp.asarray(dewpoint),
+                          batch_shape + (L,)).reshape((-1, L))
     B = p.shape[0]
 
+    def flat_scalar(x, default):
+        if x is None:
+            return default
+        return jnp.broadcast_to(jnp.asarray(x), batch_shape).reshape((-1,))
+
+    p0 = flat_scalar(parcel_pressure, p[:, 0])
+    t0 = flat_scalar(parcel_temperature, t[:, 0])
+    td0 = flat_scalar(parcel_dewpoint, td[:, 0])
+
     # --- XLA pre-pass: per-column scalars (O(B) work, no (B, L) traffic) ---
-    p0, t0, td0 = p[:, 0], t[:, 0], td[:, 0]
     lcls = lcl(p0, t0, td0)
     lcl_p = lcls['lcl_pressure']
     w0 = thermo.mixing_ratio(t0, td0, p0)
@@ -158,11 +179,13 @@ def fused_surface_cape_cin(pressure, temperature, dewpoint, tables=None,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * 6
+    n_out = 7 if with_lifted_index else 6
+    out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_out
     out_specs = [pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 6
+                              memory_space=pltpu.VMEM)] * n_out
     outs = pl.pallas_call(
-        functools.partial(_kernel, **kwargs),
+        functools.partial(_kernel, with_lifted_index=with_lifted_index,
+                          **kwargs),
         grid=(BP // TB,),
         in_specs=[
             pl.BlockSpec((TB, L), lambda i: (i, 0),
@@ -187,4 +210,12 @@ def fused_surface_cape_cin(pressure, temperature, dewpoint, tables=None,
     res = {'cape': shape(outs[0]), 'cin': shape(outs[1])}
     sol = {'lfc_pressure': shape(outs[2]), 'lfc_temperature': shape(outs[3]),
            'el_pressure': shape(outs[4]), 'el_temperature': shape(outs[5])}
+    if with_lifted_index:
+        res['lifted_index'] = shape(outs[6])
     return res, sol
+
+
+def fused_surface_cape_cin(pressure, temperature, dewpoint, **kwargs):
+    """Surface-based CAPE/CIN via the fused Pallas kernel
+    (reference: modules/parcel_functions.py:1477-1514)."""
+    return fused_cape_cin(pressure, temperature, dewpoint, **kwargs)

@@ -100,6 +100,81 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
     return annotate(out) if with_attrs else out
 
 
+def conv_properties_fused(dat, ignore_nans=False, tables=None,
+                          with_attrs=False):
+    """``conv_properties`` on the fused-Pallas production path.
+
+    Same variables, same semantics (the kernels reuse the same column
+    program); the three CAPE/CIN solves and their lifted indices run inside
+    fused kernels instead of materialising profiles — the deployment path
+    for dense grids.
+    """
+    from . import fused as _fused
+    from .parcels import from_most_unstable_parcel, mix_layer
+
+    p = jnp.asarray(dat['pressure'])
+    t = jnp.asarray(dat['temperature'])
+    q = jnp.asarray(dat['specific_humidity'])
+
+    dew = thermo.dewpoint_from_specific_humidity(p, t, q)
+    valid = ~(jnp.isnan(dew).any(-1) | jnp.isnan(p).any(-1) |
+              jnp.isnan(t).any(-1) | jnp.isnan(q).any(-1))
+
+    def solve(fields, parcel):
+        res, _ = _fused.fused_cape_cin(
+            fields['pressure'], fields['temperature'], fields['dewpoint'],
+            parcel_pressure=parcel['pressure'],
+            parcel_temperature=parcel['temperature'],
+            parcel_dewpoint=parcel['dewpoint'],
+            tables=tables, with_lifted_index=True)
+        return res
+
+    mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew, depth=250.0)
+    mu = solve(mu_fields, mu_parcel)
+    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0)
+    m100 = solve(m100_fields, m100_parcel)
+    m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0)
+    m50 = solve(m50_fields, m50_parcel)
+
+    mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
+        thermo.specific_humidity_from_dewpoint(mu_parcel['pressure'],
+                                               mu_parcel['dewpoint']))
+
+    height = jnp.asarray(dat['height_asl'])
+    out = {
+        'mu_cape': mu['cape'], 'mu_cin': mu['cin'],
+        'mu_mixing_ratio': mu_mixing_ratio,
+        'mixed_100_cape': m100['cape'], 'mixed_100_cin': m100['cin'],
+        'mixed_50_cape': m50['cape'], 'mixed_50_cin': m50['cin'],
+        'mu_lifted_index': mu['lifted_index'],
+        'mixed_100_lifted_index': m100['lifted_index'],
+        'mixed_50_lifted_index': m50['lifted_index'],
+        'mu_dci': diag.deep_convective_index(
+            p, t, dew, mu['lifted_index'])['dci'],
+        'mixed_100_dci': diag.deep_convective_index(
+            p, t, dew, m100['lifted_index'])['dci'],
+        'mixed_50_dci': diag.deep_convective_index(
+            p, t, dew, m50['lifted_index'])['dci'],
+        'lapse_rate_700_500': diag.lapse_rate(p, t, height),
+        'temp_500': diag.isobar_temperature(p, t, 500.0),
+        'freezing_level': diag.freezing_level_height(t, height),
+        'melting_level': diag.melting_level_height(p, t, dew, height,
+                                                   fast=True)[0],
+    }
+    out.update(diag.wind_shear(dat['surface_wind_u'], dat['surface_wind_v'],
+                               dat['wind_u'], dat['wind_v'],
+                               dat['wind_height_above_surface'],
+                               shear_height=6000.0))
+
+    if not ignore_nans:
+        for k, v in out.items():
+            if v.dtype == bool:
+                out[k] = jnp.where(valid, v, False)
+            else:
+                out[k] = jnp.where(valid, v, jnp.nan)
+    return annotate(out) if with_attrs else out
+
+
 def min_conv_properties(dat, tables=None, moist_lapse=None,
                         with_attrs=False):
     """Reduced pipeline: mixed-100 CAPE/CIN + LI, lapse, T500, FLH, MLH,
