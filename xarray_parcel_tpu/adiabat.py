@@ -59,6 +59,13 @@ CURVE_OFFSET = T_STEP / 2.0
 MAX_DLOGP = 2e-3
 
 
+def round_to(x, to, dp=2):
+    """Round ``x`` to the nearest multiple of ``to``, then to ``dp`` decimal
+    places (reference: modules/parcel_functions.py:358-362 — the table grid
+    snapping helper)."""
+    return jnp.round(jnp.round(jnp.asarray(x) / to) * to, dp)
+
+
 def pressure_grid(dtype=jnp.float64):
     """The descending uniform pressure grid [1100, 1099.5, …, 2.5] hPa."""
     return jnp.asarray(np.round(np.arange(1100.0, 2.0, -0.5), 1), dtype=dtype)

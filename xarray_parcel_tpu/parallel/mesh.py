@@ -21,6 +21,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialisation for pod-slice runs.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detecting under
+    standard TPU pod environments) — the launch-side counterpart of the
+    reference's dask LocalCluster/Client setup (its notebooks' cell 3).
+    Call once per host before ``make_mesh()``; afterwards ``jax.devices()``
+    spans the slice and batch sharding rides ICI/DCN transparently.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices=None, axis_names=('data',), shape=None):
     """Build a mesh over ``devices`` (default: all) with the given axis
     names; ``shape`` defaults to all devices on the first axis."""
