@@ -75,3 +75,37 @@ def test_global_stats_collectives(mesh):
     assert int(cnt) == 15
     np.testing.assert_almost_equal(float(mean), finite.mean(), 10)
     np.testing.assert_almost_equal(float(mx), 15.0, 10)
+
+
+def test_stream_map_matches_direct():
+    """Out-of-core streaming over column chunks == direct execution."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xarray_parcel_tpu import adiabat, pipeline
+    from xarray_parcel_tpu.parallel import stream_map
+
+    tables = adiabat.load_moist_adiabat_lookups()
+    rng = np.random.default_rng(5)
+    ny, nx, L = 5, 7, 36
+    p = np.broadcast_to(np.linspace(1006., 180., L), (ny, nx, L)).copy()
+    t = 300.0 - 72.0 * (1.0 - (p / 1006.0) ** 0.3) + rng.normal(
+        0, 1, (ny, nx, L))
+    e = 6.112 * np.exp(17.67 * ((t - 8.) - 273.15) / ((t - 8.) - 29.65))
+    q = (0.622 * e / (p - e)) / (1 + 0.622 * e / (p - e))
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    dat = {'pressure': p, 'temperature': t, 'specific_humidity': q,
+           'height_asl': h,
+           'surface_wind_u': rng.normal(3, 1, (ny, nx)),
+           'surface_wind_v': rng.normal(0, 1, (ny, nx)),
+           'wind_u': rng.normal(8, 3, (ny, nx, L)),
+           'wind_v': rng.normal(1, 3, (ny, nx, L)),
+           'wind_height_above_surface': h - h[..., :1]}
+
+    fn = lambda d: pipeline.conv_properties(d, tables=tables)
+    direct = fn({k: jnp.asarray(v.reshape((-1,) + v.shape[2:]))
+                 for k, v in dat.items()})
+    streamed = stream_map(fn, dat, batch_columns=8)   # uneven chunking
+    for k in direct:
+        a = np.asarray(direct[k]).reshape(streamed[k].shape)
+        np.testing.assert_allclose(streamed[k], a, atol=1e-6, rtol=1e-9,
+                                   equal_nan=True, err_msg=k)

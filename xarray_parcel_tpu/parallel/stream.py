@@ -1,0 +1,73 @@
+"""Out-of-core streaming execution over column chunks.
+
+The reference handles grids larger than memory by dask chunking (lazy graphs
+over lat/lon chunks, reference: its notebooks' ``chunks=10`` /
+``.chunk({'latitude': 50, ...})``).  The TPU analogue: stream fixed-size
+column chunks through one compiled program — host->device transfer of chunk
+k+1 overlaps compute of chunk k via JAX's async dispatch, and only results
+are pulled back.  One compiled shape (the last chunk is NaN-padded), so
+there is exactly one compile.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _batch_shape(dat, level_vars):
+    for k in level_vars:
+        if k in dat:
+            return np.shape(dat[k])[:-1]
+    raise ValueError('no level variable found to infer the batch shape')
+
+
+def stream_map(fn, dat, batch_columns=1 << 16,
+               level_vars=('pressure', 'temperature', 'dewpoint',
+                           'specific_humidity')):
+    """Run ``fn`` (a dict->dict column program, e.g.
+    ``pipeline.conv_properties``) over ``dat`` in column chunks.
+
+    ``dat``: dict of host arrays, batch dims leading ((…, L) level fields or
+    (…) surface fields).  Returns a dict of host numpy arrays with the full
+    batch shape.  ``fn`` is jitted once; chunks are NaN-padded to one static
+    shape, and transfers overlap compute through async dispatch.
+    """
+    batch = _batch_shape(dat, level_vars)
+    B = int(np.prod(batch)) if batch else 1
+
+    flat = {}
+    for k, v in dat.items():
+        v = np.asarray(v)
+        trail = v.shape[len(batch):]
+        flat[k] = v.reshape((B,) + trail)
+
+    jfn = jax.jit(fn)
+    n_chunk = min(batch_columns, B)
+    results = []
+    pending = []                      # (slice_len, device outputs)
+
+    for start in range(0, B, n_chunk):
+        stop = min(start + n_chunk, B)
+        pad = n_chunk - (stop - start)
+        chunk = {}
+        for k, v in flat.items():
+            c = v[start:stop]
+            if pad:
+                c = np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1),
+                           constant_values=np.nan)
+            chunk[k] = jnp.asarray(c)
+        pending.append((stop - start, jfn(chunk)))
+        # Keep at most two chunks in flight (double buffering).
+        if len(pending) > 1:
+            n, out = pending.pop(0)
+            results.append({k: np.asarray(v)[:n]
+                            for k, v in out.items()})
+    for n, out in pending:
+        results.append({k: np.asarray(v)[:n] for k, v in out.items()})
+
+    merged = {}
+    for k in results[0]:
+        arr = np.concatenate([r[k] for r in results], axis=0)
+        merged[k] = arr.reshape(batch + arr.shape[1:])
+    return merged
