@@ -55,8 +55,19 @@ def synthetic(batch, L=90, seed=0):
 def time_fn(fn, *args, iters=3):
     import jax
     t0 = time.perf_counter()
-    out = fn(*args)           # compile + warm cache
-    jax.block_until_ready(out)
+    # The remote-compile service over the tunnel fails transiently
+    # (connection drops, HTTP 500s) — retry the compiling call.
+    for attempt in range(4):
+        try:
+            out = fn(*args)   # compile + warm cache
+            jax.block_until_ready(out)
+            break
+        except Exception as e:
+            if attempt == 3:
+                raise
+            log(f'  compile attempt {attempt + 1} failed '
+                f'({str(e)[:80]!r}); retrying')
+            time.sleep(5)
     log(f'  compile+first run: {time.perf_counter() - t0:.1f}s')
     t0 = time.perf_counter()
     for _ in range(iters):
