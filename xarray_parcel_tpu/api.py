@@ -38,8 +38,17 @@ from .thermo import (dewpoint_from_specific_humidity, mixing_ratio,
 # The reference's name for the left-compaction primitive.
 shift_out_nans = compact_left
 
-# Table builder under the reference's name.
+# Table builder under the reference's names (moist_adiabat_lookup is the
+# raw builder, moist_adiabat_tables the cached wrapper; reference:
+# modules/parcel_functions.py:318-356, 447-523).
 moist_adiabat_tables = AdiabatTables.build
+moist_adiabat_lookup = AdiabatTables.build
+
+
+def lookup_tables_loaded():
+    """True when the default adiabat tables are loaded
+    (reference: modules/parcel_functions.py:56-61 — the assert guard)."""
+    return adiabat._DEFAULT_TABLES is not None
 
 
 def dry_lapse(pressure, parcel_temperature, parcel_pressure=None):
