@@ -142,3 +142,13 @@ def test_cape_table_vs_oracle(tables):
         levels, temps, dews, moist_lapse=adiabat.moist_lapse_integrate)
     assert abs(float(res_t['cape'][()]) - float(res_o['cape'][()])) < 0.1
     assert abs(float(res_t['cin'][()]) - float(res_o['cin'][()])) < 0.1
+
+
+def test_moist_lapse_pointwise_default_parcel_pressure(tables):
+    # Pointwise mode with no parcel_pressure: each point is its own start,
+    # so the result is the input temperature (zero lift).
+    p = jnp.full((3, 4), 900.0)
+    t = jnp.full((3, 4), 285.0)
+    out = adiabat.moist_lapse(p, t, tables=tables)
+    assert out.shape == (3, 4)
+    assert_array_almost_equal(np.asarray(out), np.asarray(t), 3)

@@ -15,9 +15,10 @@ def test_validate_columns():
                   [1000., 900., 950., 800.],        # bad: not decreasing
                   [1000., np.nan, 900., 800.],      # bad: NaN then values
                   [1000., 999., 998., 997.],        # ok
-                  [1000., 1000., 900., 800.]],      # bad: not strict
+                  [1000., 1000., 900., 800.],       # bad: not strict
+                  [np.nan, 900., 800., 700.]],      # bad: leading NaN
                  np.float64)
-    expect = np.array([True, False, False, True, False])
+    expect = np.array([True, False, False, True, False, False])
     np.testing.assert_array_equal(native.validate_columns(p), expect)
     np.testing.assert_array_equal(
         native.validate_columns(p.astype(np.float32)), expect)

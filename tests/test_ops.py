@@ -200,3 +200,12 @@ def test_ops_jit_and_vmap():
     batch = jax.vmap(f, in_axes=(None, 0))(x, jnp.stack([y, -y]))
     assert batch.shape == (2,)
     assert_almost_equal(float(f(x, y)), float(batch[0]), 12)
+
+
+def test_api_dry_lapse_nan_padded_column():
+    # Default parcel pressure must skip NaN padding (reference .max(dim)).
+    from xarray_parcel_tpu import api
+    p = jnp.array([1000., 900., 800., jnp.nan])
+    out = np.asarray(api.dry_lapse(p, 300.0))
+    assert not np.isnan(out[:3]).any() and np.isnan(out[3])
+    assert abs(out[0] - 300.0) < 1e-6

@@ -109,3 +109,12 @@ def test_stream_map_matches_direct():
         a = np.asarray(direct[k]).reshape(streamed[k].shape)
         np.testing.assert_allclose(streamed[k], a, atol=1e-6, rtol=1e-9,
                                    equal_nan=True, err_msg=k)
+
+
+def test_stream_map_empty_batch():
+    import numpy as np
+    from xarray_parcel_tpu.parallel import stream_map
+
+    dat = {'pressure': np.zeros((0, 10)), 'temperature': np.zeros((0, 10))}
+    out = stream_map(lambda d: {'x': d['pressure'][..., 0] * 2}, dat)
+    assert out['x'].shape == (0,)

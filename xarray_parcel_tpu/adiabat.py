@@ -306,22 +306,44 @@ jax.tree_util.register_pytree_node_class(AdiabatTables)
 # modules/parcel_functions.py:18-61), but functions also accept explicit
 # tables for jit-friendly threading.
 _DEFAULT_TABLES = None
-_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'adiabat_lookups', 'adiabat_tables.npz')
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'adiabat_lookups')
+
+
+def _stored_dtype(path):
+    with np.load(path) as f:
+        return f['curves'].dtype
 
 
 def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
                                dtype=None):
-    """Load (or build and cache) the default adiabat tables."""
+    """Load (or build and cache) the default adiabat tables.
+
+    The cache is keyed by dtype (``adiabat_tables_f32.npz`` /
+    ``_f64.npz``) so an fp32-built cache is never silently served to an
+    fp64 validation session; a cache of wider dtype is downcast, a
+    narrower one is rebuilt.
+    """
     global _DEFAULT_TABLES
+    desired = jnp.dtype(dtype or (jnp.float64 if jax.config.jax_enable_x64
+                                  else jnp.float32))
+    suffix = 'f64' if desired.itemsize == 8 else 'f32'
+    default_path = os.path.join(_CACHE_DIR, f'adiabat_tables_{suffix}.npz')
     path = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE',
-                                        _DEFAULT_CACHE)
-    if not regenerate and os.path.exists(path):
-        _DEFAULT_TABLES = AdiabatTables.load(path, dtype=dtype)
-        return _DEFAULT_TABLES
-    build_dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
-                            else jnp.float32)
-    _DEFAULT_TABLES = AdiabatTables.build(dtype=build_dtype)
+                                        default_path)
+    # Migration/widening: accept any cache whose stored precision covers
+    # the request (downcasting is exact; upcasting would fake precision).
+    candidates = [path] if (cache_path or
+                            'XPARCEL_TPU_TABLE_CACHE' in os.environ) else [
+        path, os.path.join(_CACHE_DIR, 'adiabat_tables_f64.npz'),
+        os.path.join(_CACHE_DIR, 'adiabat_tables.npz')]
+    if not regenerate:
+        for cand in candidates:
+            if os.path.exists(cand) and \
+                    _stored_dtype(cand).itemsize >= desired.itemsize:
+                _DEFAULT_TABLES = AdiabatTables.load(cand, dtype=desired)
+                return _DEFAULT_TABLES
+    _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     _DEFAULT_TABLES.save(path)
     return _DEFAULT_TABLES
@@ -457,7 +479,8 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     pointwise = parcel_temperature is not None and (
         jnp.ndim(parcel_temperature) == pressure.ndim)
     if parcel_pressure is None:
-        parcel_pressure = pressure[..., 0]
+        # Pointwise mode: every point is its own parcel start.
+        parcel_pressure = pressure if pointwise else pressure[..., 0]
     parcel_temperature = jnp.asarray(parcel_temperature)
     parcel_pressure = jnp.asarray(parcel_pressure)
 

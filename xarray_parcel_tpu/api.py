@@ -53,10 +53,12 @@ def lookup_tables_loaded():
 
 def dry_lapse(pressure, parcel_temperature, parcel_pressure=None):
     """Dry adiabat; parcel pressure defaults to the column maximum
-    (reference: modules/parcel_functions.py:291-316)."""
+    (NaN-skipping, as the reference's xarray .max;
+    reference: modules/parcel_functions.py:291-316)."""
+    from .ops import nanmax
     pressure = jnp.asarray(pressure)
     if parcel_pressure is None:
-        parcel_pressure = pressure.max(axis=-1)
+        parcel_pressure = nanmax(pressure)
     pt = jnp.asarray(parcel_temperature)
     pp = jnp.asarray(parcel_pressure)
     if pt.ndim < pressure.ndim:

@@ -50,7 +50,7 @@ void validate_columns_impl(const T* p, int64_t n_cols, int64_t L,
     for (int64_t c = lo; c < hi; ++c) {
       const T* col = p + c * L;
       uint8_t good = 1;
-      bool seen_nan = false;
+      bool seen_nan = std::isnan(col[0]);  // leading NaN: nothing may follow
       for (int64_t k = 1; k < L; ++k) {
         T a = col[k - 1], b = col[k];
         if (std::isnan(b)) {

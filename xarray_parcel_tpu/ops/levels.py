@@ -79,7 +79,7 @@ def insert_level(fields, level, coord='pressure'):
     return out
 
 
-def compact_left(fields, key, count_key_only=True):
+def compact_left(fields, key):
     """Shift every column left to drop its leading NaNs in ``fields[key]``.
 
     Vacated trailing slots are NaN.  Equivalent to the reference's

@@ -43,9 +43,19 @@ def stream_map(fn, dat, batch_columns=1 << 16,
         flat[k] = v.reshape((B,) + trail)
 
     jfn = jax.jit(fn)
-    n_chunk = min(batch_columns, B)
+    n_chunk = max(1, min(batch_columns, B))
     results = []
     pending = []                      # (slice_len, device outputs)
+
+    if B == 0:
+        # Empty batch: run one NaN chunk for the output structure, keep 0.
+        chunk = {k: jnp.full((1,) + v.shape[1:], jnp.nan, v.dtype)
+                 if np.issubdtype(v.dtype, np.floating)
+                 else jnp.zeros((1,) + v.shape[1:], v.dtype)
+                 for k, v in flat.items()}
+        out = jfn(chunk)
+        return {k: np.asarray(v)[:0].reshape(batch + np.shape(v)[1:])
+                for k, v in out.items()}
 
     for start in range(0, B, n_chunk):
         stop = min(start + n_chunk, B)

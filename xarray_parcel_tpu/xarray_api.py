@@ -72,13 +72,15 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     fields = {}
     for name in names:
         da = dat[name]
-        if vert_dim in da.dims and da.dims[0] == vert_dim and da.ndim > 1:
+        # Every variable is put in the SAME batch-dim order (variables may
+        # legally carry differently ordered dims in xarray).
+        order = tuple(d for d in batch_dims if d in da.dims)
+        if da.dims == (vert_dim,) + order and da.ndim > 1:
             # Native repack: leading level axis -> trailing, f32 (native/).
             fields[name] = native.levels_to_last(np.asarray(da.values))
         else:
-            dims = tuple(d for d in da.dims if d != vert_dim)
-            da = da.transpose(*dims, *((vert_dim,) if vert_dim in da.dims
-                                       else ()))
+            da = da.transpose(*order, *((vert_dim,) if vert_dim in da.dims
+                                        else ()))
             fields[name] = native.repack_to_f32(np.asarray(da.values))
 
     if mesh is not None:
