@@ -67,8 +67,14 @@ def wet_bulb_temperature(pressure, temperature, dewpoint, tables=None,
     """Exact wet-bulb temperature by Normand's rule: lift each point dry to
     its LCL, bring it moist-adiabatically back down to its own pressure
     (reference: modules/parcel_functions.py:389-445, here fully vectorised —
-    one elementwise LCL solve + one pointwise moist-lapse per point)."""
-    ml = moist_lapse or adiabat.moist_lapse
+    one elementwise LCL solve + one pointwise moist-lapse per point).
+
+    Default backend is direct RK4 integration (the LCL sits a short
+    |dln p| above each point, so the integration is exact, elementwise and
+    gather-free — faster on TPU than the pointwise table lookup the
+    reference uses; pass ``moist_lapse=adiabat.moist_lapse`` for the
+    table-faithful path)."""
+    ml = moist_lapse or adiabat.moist_lapse_integrate
     lcls = lcl(pressure, temperature, dewpoint)
     return ml(pressure, lcls['lcl_temperature'], lcls['lcl_pressure'],
               tables=tables)
