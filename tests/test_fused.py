@@ -4,6 +4,8 @@ The kernel body reuses the same column program, so agreement must be exact
 up to float associativity.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -78,3 +80,40 @@ def test_fused_golden(tables):
                                           tables=tables, block_columns=8)
     assert abs(float(res['cape'][0]) - 230.20) < 0.5
     assert abs(float(res['cin'][0]) - (-58.07)) < 0.5
+
+
+def test_fused_deep_columns(tables):
+    # The reference's deepest column shape is its 2196-level adiabat grid;
+    # block height must auto-clamp to fit VMEM. (Interpret mode here checks
+    # shapes/semantics; the TPU clamp math is exercised identically.)
+    p, t, td = _grid(B=24, L=600)
+    res_f, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    res_u, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+    np.testing.assert_allclose(np.asarray(res_f['cape']),
+                               np.asarray(res_u['cape']), atol=1e-5)
+
+
+def test_fused_sharded_over_mesh(tables):
+    # Production multi-chip path: the fused kernel under shard_map on the
+    # 8-device CPU mesh (batch data-parallel, tables replicated).
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from xarray_parcel_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    tab = replicate(tables, mesh)
+    p, t, td = _grid(B=64)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(P('data'), P('data'), P('data')),
+                       out_specs=(P('data'), P('data')))
+    def run(p, t, td):
+        res, _ = fused.fused_surface_cape_cin(p, t, td, tables=tab,
+                                              block_columns=8)
+        return res['cape'], res['cin']
+
+    cape_s, cin_s = run(p, t, td)
+    res_u, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+    np.testing.assert_allclose(np.asarray(cape_s),
+                               np.asarray(res_u['cape']), atol=1e-5)

@@ -165,7 +165,11 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                         axis=-1)                       # (B, 6)
 
     # --- pad the column count to a whole number of blocks (NaN columns) ---
-    TB = min(block_columns, max(8, B))
+    # Block height auto-clamps so the kernel's ~40 live (TB, L+1) arrays fit
+    # VMEM (~16 MB scoped limit; TB=256 at L=91 measured optimal, TB=512 OOMs).
+    vmem_budget = 11 << 20
+    tb_fit = max(8, vmem_budget // ((L + 1) * 4 * 90) // 8 * 8)
+    TB = min(block_columns, tb_fit, max(8, B))
     pad = (-B) % TB
     if pad:
         p = jnp.pad(p, ((0, pad), (0, 0)), constant_values=jnp.nan)
