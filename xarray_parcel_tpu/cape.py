@@ -26,13 +26,16 @@ from .profile import parcel_profile_with_lcl
 
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
-           lcl_temperature):
+           lcl_temperature, intersections=None):
     """Level of free convection and equilibrium level.
 
     Inputs are (…, L) profile tracks (already including the LCL level when
     called from cape_cin) and (…) LCL state.  Returns dict with
     lfc_pressure/lfc_temperature/el_pressure/el_temperature
     (reference: modules/parcel_functions.py:1066-1198).
+    ``intersections``: optional precomputed
+    ``find_intersections(p, pt, t, log_x=True)`` (shared with the CAPE
+    integrator by ``cape_cin``).
     """
     p = jnp.asarray(pressure)
     pt = jnp.asarray(parcel_temperature)
@@ -41,7 +44,8 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     lcl_p = jnp.asarray(lcl_pressure)
     lcl_t = jnp.asarray(lcl_temperature)
 
-    ints = find_intersections(p, pt, t, log_x=True)
+    ints = (intersections if intersections is not None else
+            find_intersections(p, pt, t, log_x=True))
 
     # Crossing set ignoring the first level: identical except gap 0 is
     # unavailable (reference recomputes on a slice and reindexes :1107-1112).
@@ -103,7 +107,8 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
 
 def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
                   parcel_temperature, pos_cape_neg_cin=True,
-                  post_zero_cin=False, **unused_kwargs):
+                  post_zero_cin=False, intersections=None,
+                  **unused_kwargs):
     """CAPE and CIN from a parcel track and LFC/EL pressures.
 
     (reference: modules/parcel_functions.py:1291-1392).  ``pos_cape_neg_cin``
@@ -124,7 +129,8 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     diff = pt - t
     log_p = jnp.log(p)
 
-    areas, gap_mask = trap_around_zeros(p, diff, log_x=True, start=0)
+    areas, gap_mask = trap_around_zeros(p, diff, log_x=True, start=0,
+                                        intersections=intersections)
     area_x = jnp.exp(areas['x'])
     area = areas['area']
 
@@ -181,11 +187,17 @@ def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
         env_track = profile['environment_temperature']
         lcl_track_t = profile['lcl_temperature']
 
+    # One crossing set serves both the LFC/EL selection and the exact-area
+    # integration (the curves are identical: zero crossings of
+    # parcel - env are crossings of parcel vs env).
+    pp, ptr, env = jnp.broadcast_arrays(profile['pressure'], parcel_track,
+                                        env_track)
+    ints = find_intersections(pp, ptr, env, log_x=True)
     sol = lfc_el(profile['pressure'], parcel_track, env_track,
-                 profile['lcl_pressure'], lcl_track_t)
+                 profile['lcl_pressure'], lcl_track_t, intersections=ints)
     res = cape_cin_base(profile['pressure'], env_track,
                         sol['lfc_pressure'], sol['el_pressure'],
-                        parcel_track, **kwargs)
+                        parcel_track, intersections=ints, **kwargs)
     merged = dict(profile)
     merged.update(sol)
     return res, merged

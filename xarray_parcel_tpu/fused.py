@@ -85,10 +85,14 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
         level.update(ptemp=lcl_t, etemp=envt_at)
     ins = insert_level(fields, level)
 
+    from .ops import find_intersections
+    ints = find_intersections(ins['pressure'], ins['parcel'], ins['env'],
+                              log_x=True)
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
-                 lcl_track)
+                 lcl_track, intersections=ints)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
-                        sol['el_pressure'], ins['parcel'], **cape_kwargs)
+                        sol['el_pressure'], ins['parcel'],
+                        intersections=ints, **cape_kwargs)
     if with_lifted_index:
         res['lifted_index'] = (
             log_interp(ins['etemp'], ins['pressure'], 500.0) -

@@ -40,8 +40,13 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False):
     return nansum(areas)
 
 
-def trap_around_zeros(x, y, log_x=True, start=0):
+def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
     """Rectangle areas hugging each zero crossing of ``y`` along ``x``.
+
+    ``intersections``: optional precomputed crossing set for the SAME curves
+    (``find_intersections(x, a, b, log_x)`` where ``y = a - b``), valid only
+    with ``start=0`` — lets the CAPE path reuse the LFC/EL solver's
+    crossings instead of recomputing them.
 
     For every gap with a zero crossing of ``y``, two rectangles are produced:
     one between the level *before* the crossing and the crossing, and one
@@ -60,10 +65,13 @@ def trap_around_zeros(x, y, log_x=True, start=0):
     xs = x[..., start:] if start else x
     ys = y[..., start:] if start else y
 
-    ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x)
+    if intersections is not None:
+        assert start == 0, 'precomputed intersections require start=0'
+        ints = intersections
+    else:
+        ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x)
     zx = jnp.log(ints['all_x']) if log_x else ints['all_x']
-    zy = ints['all_y']
-    crossing = ~jnp.isnan(zy)
+    crossing = ~jnp.isnan(ints['all_x'])
 
     xl = jnp.log(xs) if log_x else xs
 
