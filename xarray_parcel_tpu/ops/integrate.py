@@ -70,7 +70,12 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
         ints = intersections
     else:
         ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x)
-    zx = jnp.log(ints['all_x']) if log_x else ints['all_x']
+    if log_x:
+        zx = ints.get('all_logx')
+        if zx is None:
+            zx = jnp.log(ints['all_x'])
+    else:
+        zx = ints['all_x']
     crossing = ~jnp.isnan(ints['all_x'])
 
     xl = jnp.log(xs) if log_x else xs

@@ -57,7 +57,7 @@ def find_intersections(x, a, b, log_x=False):
 
     inc = sign_change > 0
     dec = sign_change < 0
-    return {
+    out = {
         'all_x': out_x,
         'all_y': intersect_y,
         'increasing_x': jnp.where(inc, out_x, nan),
@@ -65,3 +65,8 @@ def find_intersections(x, a, b, log_x=False):
         'decreasing_x': jnp.where(dec, out_x, nan),
         'decreasing_y': jnp.where(dec, intersect_y, nan),
     }
+    if log_x:
+        # Log-space positions, so consumers that work in log space
+        # (trap_around_zeros) need not re-log the exp'd output.
+        out['all_logx'] = intersect_x
+    return out
