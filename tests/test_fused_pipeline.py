@@ -50,3 +50,21 @@ def test_fused_pipeline_matches_modular(tables, dat):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
                                    atol=1e-6, rtol=1e-9, err_msg=k)
+
+
+def test_min_conv_properties(tables, dat):
+    out = pipeline.min_conv_properties(dat, tables=tables)
+    expect = {'mixed_100_cape', 'mixed_100_cin', 'mixed_100_lifted_index',
+              'lapse_rate_700_500', 'temp_500', 'freezing_level',
+              'melting_level', 'shear_u', 'shear_v', 'shear_magnitude',
+              'positive_shear'}
+    assert expect <= set(out)
+    full = pipeline.conv_properties(dat, tables=tables)
+    # The reduced pipeline's shared variables must equal the full one's —
+    # except it does not NaN-mask invalid columns (reference
+    # min_conv_properties has no valid-point mask, :1872-1949).
+    valid = ~np.isnan(np.asarray(full['mixed_100_cape']))
+    for k in ('mixed_100_cape', 'mixed_100_lifted_index', 'temp_500'):
+        np.testing.assert_allclose(np.asarray(out[k])[valid],
+                                   np.asarray(full[k])[valid],
+                                   atol=1e-6, err_msg=k)
