@@ -327,6 +327,10 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
     global _DEFAULT_TABLES
     desired = jnp.dtype(dtype or (jnp.float64 if jax.config.jax_enable_x64
                                   else jnp.float32))
+    if (not regenerate and cache_path is None and
+            _DEFAULT_TABLES is not None and
+            _DEFAULT_TABLES.curves.dtype == desired):
+        return _DEFAULT_TABLES         # already resident in this process
     suffix = 'f64' if desired.itemsize == 8 else 'f32'
     default_path = os.path.join(_CACHE_DIR, f'adiabat_tables_{suffix}.npz')
     path = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE',
