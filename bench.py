@@ -52,7 +52,7 @@ def synthetic(batch, L=90, seed=0):
     }
 
 
-def time_fn(fn, *args, iters=3):
+def time_fn(fn, *args, iters=5):
     import jax
     t0 = time.perf_counter()
     # The remote-compile service over the tunnel fails transiently
@@ -70,9 +70,12 @@ def time_fn(fn, *args, iters=3):
             time.sleep(5)
     log(f'  compile+first run: {time.perf_counter() - t0:.1f}s')
     t0 = time.perf_counter()
+    # Block once at the end: production streams batches with async
+    # dispatch, so per-iteration host sync (a full tunnel round-trip,
+    # ~10 ms here) is not part of steady-state throughput.
     for _ in range(iters):
         out = fn(*args)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
