@@ -16,35 +16,35 @@ import jax.numpy as jnp
 
 from . import adiabat, thermo
 from .lcl import lcl
-from .ops import find_intersections, linear_interp, log_interp, nanmin
+from .ops import find_intersections, interp_many, log_interp, nanmin
 
 
 def lifted_index(profile):
     """Galway (1956) lifted index: environment minus parcel temperature at
     500 hPa (reference: modules/parcel_functions.py:1722-1756)."""
-    p = profile['pressure']
-    env = log_interp(profile['environment_temperature'], p, 500.0)
-    parcel = log_interp(profile['temperature'], p, 500.0)
+    env, parcel = interp_many(
+        (profile['environment_temperature'], profile['temperature']),
+        profile['pressure'], 500.0, log=True)
     return {'lifted_index': env - parcel}
 
 
 def deep_convective_index(pressure, temperature, dewpoint, lifted_index):
     """Kunz (2009) DCI: T850C + Td850C - LI
     (reference: modules/parcel_functions.py:1830-1870)."""
-    t850 = log_interp(temperature, pressure, 850.0) - 273.15
-    td850 = log_interp(dewpoint, pressure, 850.0) - 273.15
-    return {'dci': t850 + td850 - lifted_index}
+    t850, td850 = interp_many((temperature, dewpoint), pressure, 850.0,
+                              log=True)
+    return {'dci': (t850 - 273.15) + (td850 - 273.15) - lifted_index}
 
 
 def lapse_rate(pressure, temperature, height, from_pressure=700.0,
                to_pressure=500.0):
     """Environmental lapse rate [K/km] between two pressure levels
     (reference: modules/parcel_functions.py:2102-2135)."""
-    t_from = log_interp(temperature, pressure, from_pressure)
-    t_to = log_interp(temperature, pressure, to_pressure)
-    h_from = log_interp(height, pressure, from_pressure) / 1000.0
-    h_to = log_interp(height, pressure, to_pressure) / 1000.0
-    return (t_to - t_from) / (h_to - h_from)
+    t_from, h_from = interp_many((temperature, height), pressure,
+                                 from_pressure, log=True)
+    t_to, h_to = interp_many((temperature, height), pressure, to_pressure,
+                             log=True)
+    return (t_to - t_from) / ((h_to - h_from) / 1000.0)
 
 
 def isobar_temperature(pressure, temperature, isobar):
@@ -102,8 +102,7 @@ def wind_shear(surface_wind_u, surface_wind_v, wind_u, wind_v, height,
 
     Returns dict with shear_u, shear_v, shear_magnitude, positive_shear.
     """
-    high_u = linear_interp(wind_u, height, shear_height)
-    high_v = linear_interp(wind_v, height, shear_height)
+    high_u, high_v = interp_many((wind_u, wind_v), height, shear_height)
     shear_u = high_u - surface_wind_u
     shear_v = high_v - surface_wind_v
     high_mag = jnp.sqrt(high_u ** 2 + high_v ** 2)

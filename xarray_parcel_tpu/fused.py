@@ -32,7 +32,7 @@ from . import adiabat, thermo
 from .adiabat import N_CURVES, P_BOT, P_TOP, _eval_spectral
 from .cape import cape_cin_base, lfc_el
 from .lcl import lcl
-from .ops import insert_level, linear_interp, log_interp
+from .ops import insert_level, interp_many, log_interp
 
 
 def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
@@ -63,10 +63,9 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
     vt = thermo.virtual_temperature(temp, w)
     env_vt = thermo.virtual_temperature(t, thermo.mixing_ratio(t, td, p))
 
-    # Environment interpolated at the LCL; env virtual T recomputed there.
-    interp = log_interp if lcl_interp == 'log' else linear_interp
-    t_at = interp(t, p, lcl_p)
-    td_at = interp(td, p, lcl_p)
+    # Environment interpolated at the LCL; env virtual T recomputed there
+    # (one shared anchor computation for both variables).
+    t_at, td_at = interp_many((t, td), p, lcl_p, log=lcl_interp == 'log')
     envvt_at = thermo.virtual_temperature(
         t_at, thermo.mixing_ratio(t_at, td_at, lcl_p))
     envt_at = t_at

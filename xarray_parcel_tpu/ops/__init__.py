@@ -5,14 +5,14 @@ NaN-aware, and jit/vmap-safe.
 """
 
 from .reduce import nanmax, nanmin, nansum, nanmean, nancount, any_valid
-from .interp import linear_interp, log_interp, interp1d
+from .interp import interp_many, linear_interp, log_interp, interp1d
 from .intersect import find_intersections
 from .integrate import trapz, trap_around_zeros
 from .levels import insert_level, compact_left, bound_pressure, get_layer
 
 __all__ = [
     'nanmax', 'nanmin', 'nansum', 'nanmean', 'nancount', 'any_valid',
-    'linear_interp', 'log_interp', 'interp1d',
+    'interp_many', 'linear_interp', 'log_interp', 'interp1d',
     'find_intersections', 'trapz', 'trap_around_zeros',
     'insert_level', 'compact_left', 'bound_pressure', 'get_layer',
 ]

@@ -21,17 +21,18 @@ import jax.numpy as jnp
 from .reduce import nanmax, nanmin, nanmean
 
 
-def linear_interp(x, coords, at, extrapolate=False):
-    """Interpolate ``x`` (…, L) at per-column target ``at`` (…) given
-    per-level ``coords`` (…, L).
+def interp_many(xs, coords, at, extrapolate=False, log=False):
+    """Interpolate SEVERAL (…, L) variables at one per-column target ``at``
+    sharing one anchor computation (the anchor selection is ~8 masked
+    reductions over the level axis — the dominant cost of an interpolation —
+    and depends only on ``coords``/``at``, not on the values).
 
-    Matches the reference's semantics exactly:
-      * anchor coords are the closest coord >= at and the closest <= at;
-      * duplicate anchor coords average their values;
-      * if both anchors have equal values the value passes through unchanged;
-      * out-of-range targets give NaN unless ``extrapolate`` (then the two
-        outermost distinct coords define the extrapolation line).
+    ``xs``: dict/sequence of arrays.  Semantics per variable match
+    ``linear_interp`` exactly.  Returns the same container type.
     """
+    if log:
+        coords = jnp.log(coords)
+        at = jnp.log(jnp.asarray(at))
     at = jnp.asarray(at)
     atb = at[..., None]
 
@@ -55,19 +56,39 @@ def linear_interp(x, coords, at, extrapolate=False):
         coords_after = jnp.where(extrap_above, coords_before, coords_after)
         coords_before = jnp.where(extrap_above, second_highest, coords_before)
 
-    x_before = nanmean(x, where=coords == coords_before[..., None])
-    x_after = nanmean(x, where=coords == coords_after[..., None])
+    mask_before = coords == coords_before[..., None]
+    mask_after = coords == coords_after[..., None]
+    frac = (at - coords_before) / (coords_after - coords_before)
 
-    res = x_before + (x_after - x_before) * ((at - coords_before) /
-                                             (coords_after - coords_before))
-    return jnp.where(x_before == x_after, x_before, res)
+    def one(x):
+        x_before = nanmean(x, where=mask_before)
+        x_after = nanmean(x, where=mask_after)
+        res = x_before + (x_after - x_before) * frac
+        return jnp.where(x_before == x_after, x_before, res)
+
+    if isinstance(xs, dict):
+        return {k: one(v) for k, v in xs.items()}
+    return type(xs)(one(v) for v in xs)
+
+
+def linear_interp(x, coords, at, extrapolate=False):
+    """Interpolate ``x`` (…, L) at per-column target ``at`` (…) given
+    per-level ``coords`` (…, L).
+
+    Matches the reference's semantics exactly:
+      * anchor coords are the closest coord >= at and the closest <= at;
+      * duplicate anchor coords average their values;
+      * if both anchors have equal values the value passes through unchanged;
+      * out-of-range targets give NaN unless ``extrapolate`` (then the two
+        outermost distinct coords define the extrapolation line).
+    """
+    return interp_many((x,), coords, at, extrapolate=extrapolate)[0]
 
 
 def log_interp(x, coords, at, extrapolate=False):
     """``linear_interp`` on log-transformed coordinates (log-pressure
     interpolation; reference: modules/parcel_functions.py:1813-1828)."""
-    return linear_interp(x, jnp.log(coords), jnp.log(jnp.asarray(at)),
-                         extrapolate=extrapolate)
+    return interp_many((x,), coords, at, extrapolate=extrapolate, log=True)[0]
 
 
 def interp1d(at, xp, fp):

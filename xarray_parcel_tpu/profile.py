@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from . import adiabat, thermo
 from .lcl import lcl
-from .ops import insert_level, linear_interp, log_interp
+from .ops import insert_level, interp_many
 
 
 def parcel_profile(pressure, parcel_pressure, parcel_temperature,
@@ -66,7 +66,6 @@ def add_lcl_to_profile(profile, environment=None, interpolator='log'):
     both profile and environment gain one level.
     """
     assert interpolator in ('linear', 'log')
-    interp = log_interp if interpolator == 'log' else linear_interp
 
     level = {'pressure': profile['lcl_pressure'],
              'temperature': profile['lcl_temperature'],
@@ -79,9 +78,9 @@ def add_lcl_to_profile(profile, environment=None, interpolator='log'):
 
     if environment is not None:
         env_p = environment['pressure']
-        interp_level = {
-            k: interp(v, env_p, level['pressure'])
-            for k, v in environment.items()}
+        interp_level = interp_many(
+            {k: v for k, v in environment.items() if k != 'pressure'},
+            env_p, level['pressure'], log=interpolator == 'log')
         interp_level['pressure'] = level['pressure']
 
         if 'virtual_temperature' in environment:
