@@ -14,7 +14,6 @@ indexed by gap and NaN-marked when absent.
 import jax.numpy as jnp
 
 from .intersect import find_intersections
-from .reduce import nansum
 
 
 def trapz(y, x, mask=None, only_positive=False, only_negative=False):
@@ -28,16 +27,21 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False):
     selection integrates to 0.
     """
     assert not (only_positive and only_negative)
-    dx = jnp.abs(x[..., 1:] - x[..., :-1])
-    means = 0.5 * (y[..., 1:] + y[..., :-1])
+    y0, y1 = y[..., :-1], y[..., 1:]
+    x0, x1 = x[..., :-1], x[..., 1:]
+    # Select-then-compute (not compute-then-NaN): gap areas touched by a
+    # NaN level are excluded by mask, and the arithmetic never sees the
+    # NaN sentinels — keeps reverse-mode gradients finite.
+    valid = ~(jnp.isnan(y0) | jnp.isnan(y1) | jnp.isnan(x0) | jnp.isnan(x1))
+    dx = jnp.abs(jnp.where(valid, x1 - x0, 0.0))
+    means = 0.5 * (jnp.where(valid, y0, 0.0) + jnp.where(valid, y1, 0.0))
     areas = dx * means
-    if mask is not None:
-        areas = jnp.where(mask, areas, jnp.nan)
+    sel = valid if mask is None else (valid & mask)
     if only_positive:
-        areas = jnp.where(areas > 0, areas, jnp.nan)
+        sel = sel & (areas > 0)
     if only_negative:
-        areas = jnp.where(areas < 0, areas, jnp.nan)
-    return nansum(areas)
+        sel = sel & (areas < 0)
+    return jnp.sum(jnp.where(sel, areas, 0.0), axis=-1)
 
 
 def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
@@ -80,11 +84,19 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
 
     xl = jnp.log(xs) if log_x else xs
 
+    # Safe crossing positions for the arithmetic below: NaN positions
+    # (no crossing / poisoned gaps / NaN-padded levels) would otherwise leak
+    # NaN into reverse-mode cotangents of the (masked-out) rectangle areas.
+    zx_safe = jnp.where(crossing & ~jnp.isnan(zx), zx, 0.0)
+
     def rects(point_x, point_y):
-        dx = point_x - zx
-        area = (point_y / 2.0) * jnp.abs(dx)
-        pos = point_x - dx / 2.0
-        keep = crossing
+        keep = (crossing & ~jnp.isnan(zx) & ~jnp.isnan(point_y) &
+                ~jnp.isnan(point_x))
+        px = jnp.where(keep, point_x, 0.0)
+        dx = px - zx_safe
+        y_safe = jnp.where(keep, point_y, 0.0)
+        area = (y_safe / 2.0) * jnp.abs(dx)
+        pos = px - dx / 2.0
         return (jnp.where(keep, area, jnp.nan),
                 jnp.where(keep, pos, jnp.nan),
                 jnp.where(keep, jnp.abs(dx), jnp.nan))

@@ -58,7 +58,12 @@ def interp_many(xs, coords, at, extrapolate=False, log=False):
 
     mask_before = coords == coords_before[..., None]
     mask_after = coords == coords_after[..., None]
-    frac = (at - coords_before) / (coords_after - coords_before)
+    # Guarded denominator: equal anchors take the passthrough branch below,
+    # but an unguarded 0/0 (or NaN/NaN for out-of-range targets) would leak
+    # NaN into reverse-mode cotangents of the masked-out branch.
+    span = coords_after - coords_before
+    span = jnp.where((span != 0) & ~jnp.isnan(span), span, 1.0)
+    frac = (at - coords_before) / span
 
     def one(x):
         x_before = nanmean(x, where=mask_before)

@@ -39,8 +39,17 @@ def find_intersections(x, a, b, log_x=False):
 
     delta_y0 = a0 - b0
     delta_y1 = a1 - b1
-    intersect_x = (delta_y1 * x0 - delta_y0 * x1) / (delta_y1 - delta_y0)
-    intersect_y = ((intersect_x - x0) / (x1 - x0)) * (a1 - a0) + a0
+    # Guarded denominators: in no-crossing gaps these can be 0 (or NaN), and
+    # an unguarded 0/0 leaks NaN into reverse-mode cotangents even though
+    # the value is masked away below (the where-NaN gradient trap).
+    dy = delta_y1 - delta_y0
+    dy = jnp.where(crossing & (dy != 0) & ~jnp.isnan(dy), dy, 1.0)
+    dx = x1 - x0
+    dx = jnp.where(crossing & (dx != 0) & ~jnp.isnan(dx), dx, 1.0)
+    intersect_x = (delta_y1 * x0 - delta_y0 * x1) / dy
+    intersect_y = ((intersect_x - x0) / dx) * (a1 - a0) + a0
+    # Duplicate-coordinate gaps keep the unguarded algebra's NaN y.
+    intersect_y = jnp.where(x1 != x0, intersect_y, jnp.nan)
 
     nan = jnp.nan
     intersect_x = jnp.where(crossing, intersect_x, nan)
