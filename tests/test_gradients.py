@@ -79,3 +79,22 @@ def test_grad_through_parcel_variants(tables, sounding):
         fd = (cape_of(temps[1] + eps) - cape_of(temps[1] - eps)) / (2 * eps)
         assert np.isfinite(float(g))
         np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+def test_grad_through_fused_kernel(tables, sounding):
+    # The Pallas production kernel is differentiable: custom_vjp whose
+    # backward is the VJP of the identical column program in XLA.
+    from xarray_parcel_tpu import fused
+    levels, temps, dews = sounding
+    lv, tp, dw = levels[None], temps[None], dews[None]
+
+    def cape_of(t0):
+        res, _ = fused.fused_surface_cape_cin(
+            lv, tp.at[0, 0].set(t0), dw, tables=tables, block_columns=8)
+        return res['cape'][0]
+
+    g = jax.grad(cape_of)(temps[0])
+    eps = 1e-4
+    fd = (cape_of(temps[0] + eps) - cape_of(temps[0] - eps)) / (2 * eps)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)

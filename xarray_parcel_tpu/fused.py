@@ -115,6 +115,78 @@ def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
         ref[:] = val[..., None]
 
 
+def _column_outputs(p, t, td, row, scalars, with_lifted_index, kwargs):
+    """The kernel's output tuple computed by the SAME column program on
+    plain (B, L) arrays — the XLA twin used for the backward pass."""
+    res, sol = _column_program(
+        p, t, td, row,
+        scalars[:, 0], scalars[:, 1], scalars[:, 2], scalars[:, 3],
+        scalars[:, 4], scalars[:, 5],
+        with_lifted_index=with_lifted_index, **kwargs)
+    vals = [res['cape'], res['cin'], sol['lfc_pressure'],
+            sol['lfc_temperature'], sol['el_pressure'],
+            sol['el_temperature']]
+    if with_lifted_index:
+        vals.append(res['lifted_index'])
+    return tuple(v[..., None] for v in vals)
+
+
+@functools.lru_cache(maxsize=64)
+def _diff_core(TB, L, K, interpret, with_lifted_index, kwargs_items):
+    """Differentiable fused core for one static configuration.
+
+    Forward = the Pallas kernel; backward = VJP of the identical column
+    program run as plain XLA (one source of truth for semantics, and the
+    backward recomputes from inputs — no residual memory).  Cotangents of
+    NaN-padded columns are sliced away by the caller's unpad, so the twin
+    may produce NaN gradients there harmlessly.
+    """
+    kwargs = dict(kwargs_items)
+    n_out = 7 if with_lifted_index else 6
+
+    def pallas_path(p, t, td, row, scalars):
+        BP = p.shape[0]
+        out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_out
+        out_specs = [pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)] * n_out
+        return pl.pallas_call(
+            functools.partial(_kernel,
+                              with_lifted_index=with_lifted_index, **kwargs),
+            grid=(BP // TB,),
+            in_specs=[
+                pl.BlockSpec((TB, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, L), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 6), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(p, t, td, row, scalars)
+
+    @jax.custom_vjp
+    def core(p, t, td, row, scalars):
+        return pallas_path(p, t, td, row, scalars)
+
+    def fwd(p, t, td, row, scalars):
+        return pallas_path(p, t, td, row, scalars), (p, t, td, row, scalars)
+
+    def bwd(resids, g):
+        _, vjp = jax.vjp(
+            lambda *a: _column_outputs(*a, with_lifted_index, kwargs),
+            *resids)
+        return vjp(tuple(g))
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                    parcel_temperature=None, parcel_dewpoint=None,
                    tables=None, block_columns=256, interpret=None,
@@ -186,30 +258,10 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    n_out = 7 if with_lifted_index else 6
-    out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_out
-    out_specs = [pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * n_out
-    outs = pl.pallas_call(
-        functools.partial(_kernel, with_lifted_index=with_lifted_index,
-                          **kwargs),
-        grid=(BP // TB,),
-        in_specs=[
-            pl.BlockSpec((TB, L), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, L), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, L), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 6), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(p, t, td, row, scalars)
+    core = _diff_core(TB, L, K, bool(interpret),
+                      bool(with_lifted_index),
+                      tuple(sorted(kwargs.items())))
+    outs = core(p, t, td, row, scalars)
 
     def shape(x):
         return x[:B, 0].reshape(batch_shape)
