@@ -52,6 +52,21 @@ def synthetic(batch, L=90, seed=0):
     }
 
 
+def _materialize(out):
+    """True device synchronisation: reduce every output to one scalar on
+    device and read it back (4 bytes).  jax.block_until_ready does NOT
+    reliably wait for remote execution on the tunnel backend (timing loops
+    that only block can come out ~1000x too fast), and full-array readback
+    would charge the tunnel's slow device->host path (~20 MB/s) against
+    compute that a real deployment never pays."""
+    import jax
+    # One XLA program completes atomically, so one element of one output
+    # proves the whole dispatch finished (4-byte readback, one extra
+    # dispatch).
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.ravel()[0])
+
+
 def time_fn(fn, *args, iters=5):
     import jax
     t0 = time.perf_counter()
@@ -60,7 +75,7 @@ def time_fn(fn, *args, iters=5):
     for attempt in range(4):
         try:
             out = fn(*args)   # compile + warm cache
-            jax.block_until_ready(out)
+            _materialize(out)
             break
         except Exception as e:
             if attempt == 3:
@@ -69,13 +84,12 @@ def time_fn(fn, *args, iters=5):
                 f'({str(e)[:80]!r}); retrying')
             time.sleep(5)
     log(f'  compile+first run: {time.perf_counter() - t0:.1f}s')
+    # Amortized throughput: queue all iterations (as a streaming producer
+    # would), then materialise every output — honest end-to-end sync.
     t0 = time.perf_counter()
-    # Block once at the end: production streams batches with async
-    # dispatch, so per-iteration host sync (a full tunnel round-trip,
-    # ~10 ms here) is not part of steady-state throughput.
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    for out in outs:
+        _materialize(out)
     return (time.perf_counter() - t0) / iters
 
 
