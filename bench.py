@@ -123,6 +123,19 @@ def main():
     from xarray_parcel_tpu import adiabat, cape, fused, pipeline
 
     log(f'backend={jax.default_backend()} devices={jax.devices()}')
+
+    # Fixed per-dispatch cost of this environment (the tunnel adds ~35 ms
+    # to EVERY program execution, trivial or huge — measured with a null
+    # kernel and reported so rates can be judged net of infrastructure).
+    null = jax.jit(lambda x: x * 2.0)
+    x0 = jnp.zeros((8,), jnp.float32)
+    _materialize(null(x0))
+    t0 = time.perf_counter()
+    outs = [null(x0) for _ in range(5)]
+    for o in outs:
+        _materialize(o)
+    dispatch_floor = (time.perf_counter() - t0) / 5
+    log(f'dispatch floor: {dispatch_floor * 1e3:.1f} ms/call')
     tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
     tables = jax.tree_util.tree_map(jax.device_put, tables)
     jax.block_until_ready(tables.curves)
@@ -176,6 +189,9 @@ def main():
             'surface_cape_cin_xla_columns_per_sec': round(B_cape / sec_xla,
                                                           1),
             'north_star_target': 1e7,
+            'dispatch_floor_ms': round(dispatch_floor * 1e3, 1),
+            'cape_cols_per_sec_net_of_dispatch': round(
+                B_cape / max(sec_cape - dispatch_floor, 1e-6), 1),
             'pipeline_batch': B_pipe,
             'cape_batch': B_cape,
             'backend': jax.default_backend(),
