@@ -37,7 +37,8 @@ from .ops import insert_level, interp_many, log_interp
 
 def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
                     virtual_temperature_correction=True, lcl_interp='log',
-                    with_lifted_index=False, **cape_kwargs):
+                    with_lifted_index=False, with_profile=False,
+                    **cape_kwargs):
     """The per-column-block CAPE/CIN program on plain jnp values.
 
     ``p``/``t``/``td``: (TB, L); ``row``: (TB, K) blended Chebyshev
@@ -79,7 +80,7 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
 
     fields = {'pressure': p, 'parcel': parcel_track, 'env': env_track}
     level = {'pressure': lcl_p, 'parcel': lcl_track, 'env': env_at}
-    if with_lifted_index:
+    if with_lifted_index or with_profile:
         fields.update(ptemp=temp, etemp=t)
         level.update(ptemp=lcl_t, etemp=envt_at)
     ins = insert_level(fields, level)
@@ -96,43 +97,57 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
         res['lifted_index'] = (
             log_interp(ins['etemp'], ins['pressure'], 500.0) -
             log_interp(ins['ptemp'], ins['pressure'], 500.0))
+    if with_profile:
+        res['profile'] = (ins['pressure'], ins['ptemp'], ins['etemp'])
     return res, sol
 
 
 def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
-            with_lifted_index=False, **kwargs):
+            with_lifted_index=False, with_profile=False, **kwargs):
     sc = sc_ref[:]
     res, sol = _column_program(
         p_ref[:], t_ref[:], td_ref[:], row_ref[:],
         sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3], sc[:, 4], sc[:, 5],
-        with_lifted_index=with_lifted_index, **kwargs)
-    vals = [res['cape'], res['cin'], sol['lfc_pressure'],
-            sol['lfc_temperature'], sol['el_pressure'],
-            sol['el_temperature']]
+        with_lifted_index=with_lifted_index, with_profile=with_profile,
+        **kwargs)
+    vals = [res['cape'][..., None], res['cin'][..., None],
+            sol['lfc_pressure'][..., None],
+            sol['lfc_temperature'][..., None],
+            sol['el_pressure'][..., None],
+            sol['el_temperature'][..., None]]
     if with_lifted_index:
-        vals.append(res['lifted_index'])
+        vals.append(res['lifted_index'][..., None])
+    if with_profile:
+        vals.extend(res['profile'])            # three (TB, L+1) tracks
     for ref, val in zip(out_refs, vals):
-        ref[:] = val[..., None]
+        ref[:] = val
 
 
-def _column_outputs(p, t, td, row, scalars, with_lifted_index, kwargs):
+def _column_outputs(p, t, td, row, scalars, with_lifted_index, with_profile,
+                    kwargs):
     """The kernel's output tuple computed by the SAME column program on
     plain (B, L) arrays — the XLA twin used for the backward pass."""
     res, sol = _column_program(
         p, t, td, row,
         scalars[:, 0], scalars[:, 1], scalars[:, 2], scalars[:, 3],
         scalars[:, 4], scalars[:, 5],
-        with_lifted_index=with_lifted_index, **kwargs)
-    vals = [res['cape'], res['cin'], sol['lfc_pressure'],
-            sol['lfc_temperature'], sol['el_pressure'],
-            sol['el_temperature']]
+        with_lifted_index=with_lifted_index, with_profile=with_profile,
+        **kwargs)
+    vals = [res['cape'][..., None], res['cin'][..., None],
+            sol['lfc_pressure'][..., None],
+            sol['lfc_temperature'][..., None],
+            sol['el_pressure'][..., None],
+            sol['el_temperature'][..., None]]
     if with_lifted_index:
-        vals.append(res['lifted_index'])
-    return tuple(v[..., None] for v in vals)
+        vals.append(res['lifted_index'][..., None])
+    if with_profile:
+        vals.extend(res['profile'])
+    return tuple(vals)
 
 
 @functools.lru_cache(maxsize=64)
-def _diff_core(TB, L, K, interpret, with_lifted_index, kwargs_items):
+def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
+               kwargs_items):
     """Differentiable fused core for one static configuration.
 
     Forward = the Pallas kernel; backward = VJP of the identical column
@@ -142,16 +157,21 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, kwargs_items):
     may produce NaN gradients there harmlessly.
     """
     kwargs = dict(kwargs_items)
-    n_out = 7 if with_lifted_index else 6
+    n_scalar = 7 if with_lifted_index else 6
+    n_prof = 3 if with_profile else 0
 
     def pallas_path(p, t, td, row, scalars):
         BP = p.shape[0]
-        out_shape = [jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_out
-        out_specs = [pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)] * n_out
+        out_shape = ([jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_scalar +
+                     [jax.ShapeDtypeStruct((BP, L + 1), p.dtype)] * n_prof)
+        out_specs = ([pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * n_scalar +
+                     [pl.BlockSpec((TB, L + 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * n_prof)
         return pl.pallas_call(
             functools.partial(_kernel,
-                              with_lifted_index=with_lifted_index, **kwargs),
+                              with_lifted_index=with_lifted_index,
+                              with_profile=with_profile, **kwargs),
             grid=(BP // TB,),
             in_specs=[
                 pl.BlockSpec((TB, L), lambda i: (i, 0),
@@ -179,7 +199,8 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, kwargs_items):
 
     def bwd(resids, g):
         _, vjp = jax.vjp(
-            lambda *a: _column_outputs(*a, with_lifted_index, kwargs),
+            lambda *a: _column_outputs(*a, with_lifted_index, with_profile,
+                                       kwargs),
             *resids)
         return vjp(tuple(g))
 
@@ -190,7 +211,7 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, kwargs_items):
 def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                    parcel_temperature=None, parcel_dewpoint=None,
                    tables=None, block_columns=256, interpret=None,
-                   with_lifted_index=False, **kwargs):
+                   with_lifted_index=False, with_profile=False, **kwargs):
     """CAPE/CIN for an arbitrary parcel via the fused Pallas kernel.
 
     Drop-in for ``cape.cape_cin`` when only the CAPE/CIN numbers, LFC/EL
@@ -259,7 +280,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
         interpret = jax.default_backend() != 'tpu'
 
     core = _diff_core(TB, L, K, bool(interpret),
-                      bool(with_lifted_index),
+                      bool(with_lifted_index), bool(with_profile),
                       tuple(sorted(kwargs.items())))
     outs = core(p, t, td, row, scalars)
 
@@ -269,8 +290,15 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     res = {'cape': shape(outs[0]), 'cin': shape(outs[1])}
     sol = {'lfc_pressure': shape(outs[2]), 'lfc_temperature': shape(outs[3]),
            'el_pressure': shape(outs[4]), 'el_temperature': shape(outs[5])}
+    k = 6
     if with_lifted_index:
-        res['lifted_index'] = shape(outs[6])
+        res['lifted_index'] = shape(outs[k])
+        k += 1
+    if with_profile:
+        res['profile'] = {
+            name: outs[k + i][:B].reshape(batch_shape + (L + 1,))
+            for i, name in enumerate(
+                ('pressure', 'temperature', 'environment_temperature'))}
     return res, sol
 
 

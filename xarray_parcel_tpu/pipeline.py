@@ -121,12 +121,17 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
               jnp.isnan(t).any(-1) | jnp.isnan(q).any(-1))
 
     def solve(fields, parcel):
+        # Profile tracks come OUT of the kernel (cheap HBM writes) and the
+        # lifted index interpolates them in XLA — measured faster than the
+        # in-kernel lifted-index variant.
         res, _ = _fused.fused_cape_cin(
             fields['pressure'], fields['temperature'], fields['dewpoint'],
             parcel_pressure=parcel['pressure'],
             parcel_temperature=parcel['temperature'],
             parcel_dewpoint=parcel['dewpoint'],
-            tables=tables, with_lifted_index=True)
+            tables=tables, with_profile=True)
+        res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
+            'lifted_index']
         return res
 
     mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew, depth=250.0)
