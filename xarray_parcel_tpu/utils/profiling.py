@@ -12,15 +12,31 @@ import contextlib
 import time
 
 import jax
+import numpy as np
+
+
+def sync(out):
+    """Force device work to truly finish.
+
+    ``jax.block_until_ready`` alone is not reliable on every backend (the
+    remote-tunnel TPU backend returns early); reading one element of one
+    output is, because a compiled program completes atomically.
+    """
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, 'ravel'):
+            np.asarray(leaf.ravel()[0:1])
+            break
+    return out
 
 
 def time_function(f, *args, **kwargs):
     """(result, seconds) of ``f(*args)`` with device work forced to finish —
     the analogue of the reference's ``time_function`` (its ``.load()`` is
-    our ``block_until_ready``)."""
+    our device sync)."""
     start = time.perf_counter()
     res = f(*args, **kwargs)
-    jax.block_until_ready(res)
+    sync(res)
     return res, time.perf_counter() - start
 
 
@@ -37,11 +53,11 @@ def columns_per_second(f, *args, columns=None, iters=5, warmup=1, **kwargs):
         for d in first.shape[:-1]:
             columns *= d
     for _ in range(warmup):
-        jax.block_until_ready(f(*args, **kwargs))
+        sync(f(*args, **kwargs))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args, **kwargs)
-    jax.block_until_ready(out)
+    outs = [f(*args, **kwargs) for _ in range(iters)]
+    for out in outs:
+        sync(out)
     sec = (time.perf_counter() - t0) / iters
     return columns / sec, sec
 
