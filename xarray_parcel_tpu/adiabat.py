@@ -306,6 +306,7 @@ jax.tree_util.register_pytree_node_class(AdiabatTables)
 # modules/parcel_functions.py:18-61), but functions also accept explicit
 # tables for jit-friendly threading.
 _DEFAULT_TABLES = None
+_DEFAULT_SOURCE = None
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'adiabat_lookups')
 
@@ -324,17 +325,19 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
     fp64 validation session; a cache of wider dtype is downcast, a
     narrower one is rebuilt.
     """
-    global _DEFAULT_TABLES
+    global _DEFAULT_TABLES, _DEFAULT_SOURCE
     desired = jnp.dtype(dtype or (jnp.float64 if jax.config.jax_enable_x64
                                   else jnp.float32))
-    if (not regenerate and cache_path is None and
-            _DEFAULT_TABLES is not None and
-            _DEFAULT_TABLES.curves.dtype == desired):
-        return _DEFAULT_TABLES         # already resident in this process
     suffix = 'f64' if desired.itemsize == 8 else 'f32'
     default_path = os.path.join(_CACHE_DIR, f'adiabat_tables_{suffix}.npz')
     path = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE',
                                         default_path)
+    # Resident tables are reused only when they came from the same resolved
+    # source (a later call with a different cache_path/env must re-load).
+    if (not regenerate and _DEFAULT_TABLES is not None and
+            _DEFAULT_SOURCE == path and
+            _DEFAULT_TABLES.curves.dtype == desired):
+        return _DEFAULT_TABLES
     # Migration/widening: accept any cache whose stored precision covers
     # the request (downcasting is exact; upcasting would fake precision).
     candidates = [path] if (cache_path or
@@ -346,8 +349,10 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
             if os.path.exists(cand) and \
                     _stored_dtype(cand).itemsize >= desired.itemsize:
                 _DEFAULT_TABLES = AdiabatTables.load(cand, dtype=desired)
+                _DEFAULT_SOURCE = path
                 return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
+    _DEFAULT_SOURCE = path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     _DEFAULT_TABLES.save(path)
     return _DEFAULT_TABLES

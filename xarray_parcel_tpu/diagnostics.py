@@ -73,11 +73,19 @@ def wet_bulb_temperature(pressure, temperature, dewpoint, tables=None,
     |dln p| above each point, so the integration is exact, elementwise and
     gather-free — faster on TPU than the pointwise table lookup the
     reference uses; pass ``moist_lapse=adiabat.moist_lapse`` for the
-    table-faithful path)."""
+    table-faithful path).  The table envelope's NaN contract is preserved
+    either way: out-of-model states give NaN, never extrapolation."""
     ml = moist_lapse or adiabat.moist_lapse_integrate
     lcls = lcl(pressure, temperature, dewpoint)
-    return ml(pressure, lcls['lcl_temperature'], lcls['lcl_pressure'],
-              tables=tables)
+    wb = ml(pressure, lcls['lcl_temperature'], lcls['lcl_pressure'],
+            tables=tables)
+    # The integrate backend has no table envelope; re-impose it so validity
+    # semantics match the reference's table consumer.
+    fidx = adiabat.curve_index_integrate(lcls['lcl_pressure'],
+                                         lcls['lcl_temperature'])
+    ok = (~jnp.isnan(fidx) & (pressure >= adiabat.P_BOT) &
+          (pressure <= adiabat.P_TOP))
+    return jnp.where(ok, wb, jnp.nan)
 
 
 def melting_level_height(pressure, temperature, dewpoint, height, fast=True,

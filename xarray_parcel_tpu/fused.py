@@ -104,21 +104,11 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
 
 def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
             with_lifted_index=False, with_profile=False, **kwargs):
-    sc = sc_ref[:]
-    res, sol = _column_program(
-        p_ref[:], t_ref[:], td_ref[:], row_ref[:],
-        sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3], sc[:, 4], sc[:, 5],
-        with_lifted_index=with_lifted_index, with_profile=with_profile,
-        **kwargs)
-    vals = [res['cape'][..., None], res['cin'][..., None],
-            sol['lfc_pressure'][..., None],
-            sol['lfc_temperature'][..., None],
-            sol['el_pressure'][..., None],
-            sol['el_temperature'][..., None]]
-    if with_lifted_index:
-        vals.append(res['lifted_index'][..., None])
-    if with_profile:
-        vals.extend(res['profile'])            # three (TB, L+1) tracks
+    # Output packing lives ONLY in _column_outputs: the Pallas forward and
+    # the XLA backward twin (custom_vjp) must emit identical orders.
+    vals = _column_outputs(p_ref[:], t_ref[:], td_ref[:], row_ref[:],
+                           sc_ref[:], with_lifted_index, with_profile,
+                           kwargs)
     for ref, val in zip(out_refs, vals):
         ref[:] = val
 
@@ -264,7 +254,8 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     # Block height auto-clamps so the kernel's ~40 live (TB, L+1) arrays fit
     # VMEM (~16 MB scoped limit; TB=256 at L=91 measured optimal, TB=512 OOMs).
     vmem_budget = 11 << 20
-    tb_fit = max(8, vmem_budget // ((L + 1) * 4 * 90) // 8 * 8)
+    itemsize = jnp.dtype(p.dtype).itemsize
+    tb_fit = max(8, vmem_budget // ((L + 1) * itemsize * 90) // 8 * 8)
     TB = min(block_columns, tb_fit, max(8, B))
     pad = (-B) % TB
     if pad:

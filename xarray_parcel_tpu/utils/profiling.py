@@ -23,10 +23,11 @@ def sync(out):
     output is, because a compiled program completes atomically.
     """
     jax.block_until_ready(out)
+    # One element of EVERY leaf: leaves may come from separate dispatched
+    # programs, each of which completes independently.
     for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, 'ravel'):
+        if hasattr(leaf, 'ravel') and getattr(leaf, 'size', 0):
             np.asarray(leaf.ravel()[0:1])
-            break
     return out
 
 
