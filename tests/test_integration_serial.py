@@ -107,3 +107,21 @@ def test_vector_tables_vs_serial(grid, serial):
     rel = d / np.maximum(np.abs(serial['cape'])[same_branch], 100.0)
     assert np.nanmax(np.minimum(d, rel * 100.0)) < 1.0, (
         f'cape table error: max abs {np.nanmax(d)}')
+
+
+def test_vector_vs_serial_second_seed():
+    """Same logic-identical comparison on an independent grid (different
+    seed, deeper columns) — guards against fixture-specific luck."""
+    grid2 = make_grid(ny=5, nx=5, L=56, seed=23)
+    p, t, td = grid2
+    vec = run_vector(grid2, moist_lapse=adiabat.moist_lapse_integrate)
+    for i in range(5):
+        for j in range(5):
+            c, n, lfc, el = oracle.surface_cape_cin_column(
+                p[i, j], t[i, j], td[i, j])
+            same = (np.isnan(vec['lfc'][i, j]) and np.isnan(lfc)) or \
+                (abs(vec['lfc'][i, j] - lfc) < 1.0)
+            if not same:
+                continue          # legitimate multi-LFC ambiguity
+            assert abs(vec['cape'][i, j] - c) < 1e-4, (i, j)
+            assert abs(vec['cin'][i, j] - n) < 1e-4, (i, j)
