@@ -86,11 +86,15 @@ def time_fn(fn, *args, iters=5):
     log(f'  compile+first run: {time.perf_counter() - t0:.1f}s')
     # Amortized throughput: queue all iterations (as a streaming producer
     # would), then materialise every output — honest end-to-end sync.
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    for out in outs:
-        _materialize(out)
-    return (time.perf_counter() - t0) / iters
+    # Best of two rounds: tunnel health varies +-30% minute to minute.
+    best = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for out in outs:
+            _materialize(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def wait_for_backend(tries=8, probe_timeout=75):
