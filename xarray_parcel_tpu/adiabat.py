@@ -39,7 +39,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import constants as c
 from .thermo import moist_lapse_rate
 
 # Reference table grid (reference: modules/parcel_functions.py:447-451).

@@ -15,7 +15,7 @@ sort coordinate (strictly decreasing with level, NaNs trailing).
 
 import jax.numpy as jnp
 
-from .interp import log_interp, linear_interp
+from .interp import log_interp
 from .reduce import nanmax, nanmin
 
 
