@@ -814,3 +814,32 @@ def test_wet_bulb_temperature_1d():
     assert_array_almost_equal(np.asarray(val),
                               np.array([21.44487, 16.73673, 12.06554])
                               + 273.15, 5)
+
+
+def test_el_temperature_uses_above_first_crossing_set():
+    """Regression: el_t must be matched against the same above-first crossing
+    set el_p comes from.  With same_first False, a gap-0 decreasing crossing
+    sharing the EL pressure (an exact-touch crossing at level 1 appears in
+    both adjacent gaps) must not hijack the EL temperature."""
+    from xarray_parcel_tpu import cape
+
+    nan = jnp.nan
+    p = jnp.array([900., 700., 500., 300.])
+    pt = jnp.array([300., 281., 250., 220.])     # parcel warmer at level 0:
+    t = jnp.array([295., 281., 252., 230.])      # same_first is False
+    ints = {
+        'all_x': jnp.array([700., 500., nan]),
+        'all_y': jnp.array([999., 251., nan]),
+        'increasing_x': jnp.array([nan, nan, nan]),
+        'increasing_y': jnp.array([nan, nan, nan]),
+        # Gap-0 decreasing crossing at the SAME x as the real EL crossing.
+        'decreasing_x': jnp.array([500., 500., nan]),
+        'decreasing_y': jnp.array([999., 251., nan]),
+    }
+    sol = cape.lfc_el(p, pt, t, lcl_pressure=jnp.asarray(850.),
+                      lcl_temperature=jnp.asarray(295.),
+                      intersections=ints)
+    assert_almost_equal(f(sol['el_pressure']), 500.0, 6)
+    # The buggy form matched against the same_first-selected (full) set and
+    # returned 999 here.
+    assert_almost_equal(f(sol['el_temperature']), 251.0, 6)

@@ -70,10 +70,12 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     lfc_t = nanmax(ints_sel['increasing_y'],
                    where=ints_sel['increasing_x'] == lfc_p[..., None])
 
-    # EL: top-most decreasing crossing (always from the above-first set).
+    # EL: top-most decreasing crossing (always from the above-first set;
+    # the temperature match must use the SAME set, else a gap-0 decreasing
+    # crossing with same_first=False could match the wrong y).
     el_p = nanmin(ints_above['decreasing_x'])
     el_t = nanmax(ints_above['decreasing_y'],
-                  where=ints_sel['decreasing_x'] == el_p[..., None])
+                  where=ints_above['decreasing_x'] == el_p[..., None])
 
     # EL existence: parcel colder than environment at the top of the sounding
     # and EL above the LCL (reference :1141-1155).
