@@ -148,7 +148,7 @@ def main():
     # --- full pipeline (the reference's headline benchmark) ---
     # (the modular XLA pipeline beats the fused-kernel variant here — the
     # three solves' column prep dominates; see conv_properties_fused)
-    B_pipe = 1 << 17
+    B_pipe = 1 << 18
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
     @jax.jit
@@ -157,8 +157,9 @@ def main():
 
     sec = time_fn(pipe, dat)
     pipe_rate = B_pipe / sec
+    pipe_rate_net = B_pipe / max(sec - dispatch_floor, 1e-6)
     log(f'pipeline: {sec:.3f}s/iter at B={B_pipe} '
-        f'({pipe_rate:.3g} cols/sec)')
+        f'({pipe_rate:.3g} cols/sec, {pipe_rate_net:.3g} net of dispatch)')
 
     # --- surface-based CAPE/CIN only (the north-star metric) ---
     B_cape = 1 << 20
@@ -183,6 +184,32 @@ def main():
     sec_xla = time_fn(sb_xla, p, t, td)
     log(f'cape (xla): {sec_xla:.3f}s/iter ({B_cape / sec_xla:.3g} cols/sec)')
 
+    # --- production sharded path: the fused kernel under shard_map over a
+    # real TPU mesh (1 device here), interpret=False — compiles and times
+    # the exact deployment configuration a pod slice runs. ---
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from xarray_parcel_tpu.parallel import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(jax.devices()[:1])
+    tables_r = replicate(tables, mesh)
+    ps, ts, tds = shard_batch((p, t, td), mesh)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(P('data'), P('data'), P('data')),
+                       out_specs=(P('data'), P('data')))
+    def sb_sharded(p, t, td):
+        res, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables_r,
+                                              interpret=False)
+        return res['cape'], res['cin']
+
+    sec_sharded = time_fn(sb_sharded, ps, ts, tds)
+    log(f'cape (fused, shard_map): {sec_sharded:.3f}s/iter '
+        f'({B_cape / sec_sharded:.3g} cols/sec)')
+
     print(json.dumps({
         'metric': 'conv_properties_pipeline_columns_per_sec',
         'value': round(pipe_rate, 1),
@@ -196,6 +223,9 @@ def main():
             'dispatch_floor_ms': round(dispatch_floor * 1e3, 1),
             'cape_cols_per_sec_net_of_dispatch': round(
                 B_cape / max(sec_cape - dispatch_floor, 1e-6), 1),
+            'pipeline_cols_per_sec_net_of_dispatch': round(pipe_rate_net, 1),
+            'surface_cape_cin_sharded_columns_per_sec': round(
+                B_cape / sec_sharded, 1),
             'pipeline_batch': B_pipe,
             'cape_batch': B_cape,
             'backend': jax.default_backend(),

@@ -27,21 +27,53 @@ def make_inputs(ny=6, nx=6, L=40, seed=20260816):
         0, 1.5, (ny, nx, L))
     td = t - (np.abs(rng.normal(1.5, 1.5, (ny, nx, L))) + 0.2 +
               16.0 * (1.0 - p / 1009.0) ** 2)
+
+    # Row 1 is pinned inside SHIP's SPC validity windows (shear 7-27 m/s,
+    # parcel mixing ratio 11-13.6 g/kg; diagnostics.py:135-137) so the
+    # archive exercises SHIP *values*, not just its NaN pattern.  A steeper
+    # (~6.5 K/km) temperature profile and fast-drying moisture keep the
+    # surface the max-theta_e level (the base profile is so stable the
+    # most-unstable parcel otherwise sits at the 250 hPa layer top, whose
+    # mixing ratio falls outside the window).
+    t = t.copy()
+    td = td.copy()
+    t[1] = 302.0 * (p[1] / 1009.0) ** 0.19 + rng.normal(0, 0.3, (nx, L))
+    eps = 0.6219569100577033
+    w_target = 0.0123
+    e_target = w_target * p[1, :, 0] / (eps + w_target)
+    log_e = np.log(e_target / 6.112)
+    td[1, :, 0] = 243.5 * log_e / (17.67 - log_e) + 273.15
+    # Moisture decreasing sharply aloft so level 0 stays most unstable.
+    td[1, :, 1:] = np.minimum(td[1, :, 1:],
+                              td[1, :, :1] - np.arange(1, L) * 2.0)
+    td = np.minimum(td, t - 0.2)
+
     e = 6.112 * np.exp(17.67 * (td - 273.15) / (td - 29.65))
-    w = 0.6219569100577033 * e / (p - e)
+    w = eps * e / (p - e)
     q = w / (1.0 + w)
     h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
     # One all-NaN-poisoned column to pin the masking semantics.
     t = t.copy()
     t[0, 0, 5] = np.nan
+
+    su = rng.normal(3, 2, (ny, nx))
+    sv = rng.normal(0, 2, (ny, nx))
+    wu = rng.normal(8, 5, (ny, nx, L))
+    wv = rng.normal(2, 5, (ny, nx, L))
+    hw = h - h[..., :1]
+    # Row 1: 15 m/s bulk shear at 6 km (inside the 7-27 m/s window).
+    su[1, :] = 3.0
+    sv[1, :] = 0.0
+    wu[1] = 3.0 + 15.0 * np.clip(hw[1] / 6000.0, 0.0, 2.0)
+    wv[1] = 0.0
     return {
         'pressure': p, 'temperature': t, 'specific_humidity': q,
         'height_asl': h,
-        'surface_wind_u': rng.normal(3, 2, (ny, nx)),
-        'surface_wind_v': rng.normal(0, 2, (ny, nx)),
-        'wind_u': rng.normal(8, 5, (ny, nx, L)),
-        'wind_v': rng.normal(2, 5, (ny, nx, L)),
-        'wind_height_above_surface': h - h[..., :1],
+        'surface_wind_u': su,
+        'surface_wind_v': sv,
+        'wind_u': wu,
+        'wind_v': wv,
+        'wind_height_above_surface': hw,
     }
 
 
@@ -56,12 +88,23 @@ def compute(inputs):
     dat = {k: jnp.asarray(v) for k, v in inputs.items()}
     out = pipeline.conv_properties(dat, tables=tables)
     out.update(pipeline.storm_proxies(out))
+    # The reduced pipeline is archived too (distinct code path; keys get a
+    # 'min.' namespace so they never collide with conv_properties keys).
+    out.update({f'min.{k}': v
+                for k, v in pipeline.min_conv_properties(
+                    dat, tables=tables).items()})
     return {k: np.asarray(v) for k, v in out.items()}
 
 
 def main():
     inputs = make_inputs()
     out = compute(inputs)
+    for k, v in out.items():
+        if v.dtype != bool:
+            assert not np.all(np.isnan(v)), \
+                f'output {k!r} is unintentionally all-NaN'
+    assert np.isfinite(out['ship']).any(), \
+        'no archive column lands inside the SHIP validity windows'
     os.makedirs(os.path.dirname(ARCHIVE), exist_ok=True)
     np.savez_compressed(ARCHIVE,
                         **{f'in_{k}': v for k, v in inputs.items()},

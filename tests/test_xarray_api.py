@@ -1,12 +1,22 @@
-"""xarray shim tests (skipped when xarray is not installed, as in this CI
-image — the shim is import-gated; the compute core never needs xarray)."""
+"""xarray shim tests — the Dataset-level mirror of the reference surface.
+
+Runs with real xarray when installed, else with the vendored
+``xarray_parcel_tpu.xr_lite`` stub (same duck-typed Dataset/DataArray
+shape), so the shim's dim-ordering/transpose/attrs logic is always
+exercised.  Mirrors the per-function reference surface
+(reference: modules/parcel_functions.py:609, 712, 806, 1066, 1394, 1477,
+1557, 1651, 1722, 2216) against the array API as oracle.
+"""
 
 import numpy as np
 import pytest
 
-from xarray_parcel_tpu import xarray_api
+from xarray_parcel_tpu import api, thermo, xarray_api
 
-xr = pytest.importorskip('xarray')
+try:
+    import xarray as xr
+except ImportError:
+    from xarray_parcel_tpu import xr_lite as xr
 
 
 @pytest.fixture(scope='module')
@@ -34,6 +44,18 @@ def dat():
                 'model_level_number': np.arange(1, L + 1)})
 
 
+@pytest.fixture(scope='module')
+def dat_dew(dat):
+    import jax.numpy as jnp
+    dew = thermo.dewpoint_from_specific_humidity(
+        jnp.asarray(dat['pressure'].values),
+        jnp.asarray(dat['temperature'].values),
+        jnp.asarray(dat['specific_humidity'].values))
+    out = dat.copy()
+    out['dewpoint'] = (dat['pressure'].dims, np.asarray(dew))
+    return out
+
+
 def test_conv_properties_dataset_roundtrip(dat):
     out = xarray_api.conv_properties(dat)
     assert isinstance(out, xr.Dataset)
@@ -44,16 +66,15 @@ def test_conv_properties_dataset_roundtrip(dat):
     assert 'proxy_Craven2004' in proxies
 
 
-def test_surface_cape_fused_vs_unfused(dat):
-    dat2 = dat.copy()
-    from xarray_parcel_tpu import thermo
-    import jax.numpy as jnp
-    dew = thermo.dewpoint_from_specific_humidity(
-        jnp.asarray(dat.pressure.values), jnp.asarray(dat.temperature.values),
-        jnp.asarray(dat.specific_humidity.values))
-    dat2['dewpoint'] = (dat.pressure.dims, np.asarray(dew))
-    a = xarray_api.surface_based_cape_cin(dat2, fused=True)
-    b = xarray_api.surface_based_cape_cin(dat2, fused=False)
+def test_min_conv_properties_dataset(dat):
+    out = xarray_api.min_conv_properties(dat)
+    assert 'mixed_100_cape' in out
+    assert out.mixed_100_cape.dims == ('latitude', 'longitude')
+
+
+def test_surface_cape_fused_vs_unfused(dat_dew):
+    a = xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=True)
+    b = xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=False)
     np.testing.assert_allclose(np.asarray(a.cape), np.asarray(b.cape),
                                atol=1e-6)
 
@@ -65,3 +86,164 @@ def test_vert_dim_position_irrelevant(dat):
     out2 = xarray_api.conv_properties(transposed)
     np.testing.assert_allclose(np.asarray(out1.mu_cape),
                                np.asarray(out2.mu_cape), atol=1e-6)
+
+
+def test_jit_cache_reused(dat):
+    # Repeated Dataset calls must not retrace: same cached callable.
+    xarray_api.conv_properties(dat)
+    n = len(xarray_api._JIT_CACHE)
+    xarray_api.conv_properties(dat)
+    assert len(xarray_api._JIT_CACHE) == n
+
+
+# --- per-function surface (reference signatures, DataArray in) -----------
+
+def test_lcl_dataarrays(dat_dew):
+    p0 = _isel0(dat_dew['pressure'])
+    t0 = _isel0(dat_dew['temperature'])
+    td0 = _isel0(dat_dew['dewpoint'])
+    out = xarray_api.lcl(p0, t0, td0)
+    assert out.lcl_pressure.dims == ('latitude', 'longitude')
+    assert 'units' in out.lcl_pressure.attrs
+    ref = api.lcl(np.asarray(p0.values), np.asarray(t0.values),
+                  np.asarray(td0.values))
+    np.testing.assert_allclose(np.asarray(out.lcl_pressure),
+                               np.asarray(ref['lcl_pressure']), rtol=1e-6)
+
+
+def _isel0(da):
+    """Surface (level-0) slice of a (…, level) DataArray, stub-compatible."""
+    dims = tuple(d for d in da.dims if d != 'model_level_number')
+    axis = da.dims.index('model_level_number')
+    return xr.DataArray(np.asarray(da.values).take(0, axis=axis), dims=dims)
+
+
+def test_parcel_profile_with_lcl_dataset(dat_dew):
+    out = xarray_api.parcel_profile_with_lcl(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'],
+        _isel0(dat_dew['pressure']), _isel0(dat_dew['temperature']),
+        _isel0(dat_dew['dewpoint']))
+    L = dat_dew.dims['model_level_number']
+    assert out.temperature.dims == ('latitude', 'longitude',
+                                    'model_level_number')
+    assert out.temperature.values.shape[-1] == L + 1
+    assert out.lcl_pressure.dims == ('latitude', 'longitude')
+    assert 'environment_temperature' in out
+
+
+def test_lfc_el_dataset(dat_dew):
+    prof = xarray_api.parcel_profile_with_lcl(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'],
+        _isel0(dat_dew['pressure']), _isel0(dat_dew['temperature']),
+        _isel0(dat_dew['dewpoint']))
+    out = xarray_api.lfc_el(prof['pressure'], prof['temperature'],
+                            prof['environment_temperature'],
+                            prof['lcl_pressure'], prof['lcl_temperature'])
+    for v in ('lfc_pressure', 'lfc_temperature', 'el_pressure',
+              'el_temperature'):
+        assert v in out
+        assert out[v].dims == ('latitude', 'longitude')
+
+
+def test_cape_cin_dataset(dat_dew):
+    res, prof = xarray_api.cape_cin(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'],
+        _isel0(dat_dew['temperature']), _isel0(dat_dew['pressure']),
+        _isel0(dat_dew['dewpoint']))
+    assert res.cape.dims == ('latitude', 'longitude')
+    assert 'lfc_pressure' in prof
+    r2, _ = xarray_api.surface_based_cape_cin(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'])
+    np.testing.assert_allclose(np.asarray(res.cape), np.asarray(r2.cape),
+                               atol=1e-6)
+
+
+def test_cape_variants_prefix(dat_dew):
+    res, prof, parcel = xarray_api.most_unstable_cape_cin(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'],
+        depth=250.0, prefix='mu')
+    assert 'mu_cape' in res and 'mu_cin' in res
+    assert 'description' in res.mu_cape.attrs
+    assert 'temperature' in parcel
+    res2, _, _ = xarray_api.mixed_layer_cape_cin(
+        dat_dew['pressure'], dat_dew['temperature'], dat_dew['dewpoint'],
+        depth=100.0, prefix='mixed_100')
+    assert 'mixed_100_cape' in res2
+
+
+def test_scalar_diagnostics_dataset(dat_dew):
+    d = dat_dew
+    li_in = xarray_api.parcel_profile_with_lcl(
+        d['pressure'], d['temperature'], d['dewpoint'],
+        _isel0(d['pressure']), _isel0(d['temperature']),
+        _isel0(d['dewpoint']))
+    li = xarray_api.lifted_index(li_in, prefix='sb')
+    assert 'sb_lifted_index' in li
+    dci = xarray_api.deep_convective_index(
+        d['pressure'], d['temperature'], d['dewpoint'],
+        li['sb_lifted_index'])
+    assert 'dci' in dci
+    lr = xarray_api.lapse_rate(d['pressure'], d['temperature'],
+                               d['height_asl'])
+    assert lr.dims == ('latitude', 'longitude')
+    t500 = xarray_api.isobar_temperature(d['pressure'], d['temperature'],
+                                         500.0)
+    assert np.isfinite(np.asarray(t500)).all()
+    flh = xarray_api.freezing_level_height(d['temperature'], d['height_asl'])
+    assert flh.dims == ('latitude', 'longitude')
+    mlh = xarray_api.melting_level_height(d['pressure'], d['temperature'],
+                                          d['dewpoint'], d['height_asl'])
+    assert mlh.dims == ('latitude', 'longitude')
+    shear = xarray_api.wind_shear(
+        d['surface_wind_u'], d['surface_wind_v'], d['wind_u'], d['wind_v'],
+        d['wind_height_above_surface'])
+    assert 'shear_magnitude' in shear
+    wbf = xarray_api.wet_bulb_temperature_fast(d['temperature'],
+                                               d['dewpoint'])
+    assert wbf.values.shape == d['temperature'].values.shape
+
+
+def test_wet_bulb_exact_dataset(dat_dew):
+    sub = xr.Dataset({
+        'pressure': (('latitude', 'model_level_number'),
+                     np.asarray(dat_dew['pressure'].values)[0, :2]),
+        'temperature': (('latitude', 'model_level_number'),
+                        np.asarray(dat_dew['temperature'].values)[0, :2]),
+        'dewpoint': (('latitude', 'model_level_number'),
+                     np.asarray(dat_dew['dewpoint'].values)[0, :2])})
+    wb = xarray_api.wet_bulb_temperature(sub['pressure'], sub['temperature'],
+                                         sub['dewpoint'])
+    assert wb.dims == ('latitude', 'model_level_number')
+    v = np.asarray(wb)
+    td = np.asarray(sub['dewpoint'].values)
+    t = np.asarray(sub['temperature'].values)
+    ok = np.isfinite(v)
+    assert ok.any()
+    assert np.all(v[ok] <= t[ok] + 1e-3)
+    assert np.all(v[ok] >= td[ok] - 0.5)
+
+
+def test_elementwise_wrappers(dat_dew):
+    ml = xarray_api.moist_lapse(dat_dew['pressure'],
+                                _isel0(dat_dew['temperature']))
+    assert ml.dims == dat_dew['pressure'].dims
+    dl = xarray_api.dry_lapse(dat_dew['pressure'],
+                              _isel0(dat_dew['temperature']))
+    assert dl.dims == dat_dew['pressure'].dims
+    w = xarray_api.mixing_ratio(dat_dew['temperature'], dat_dew['dewpoint'],
+                                dat_dew['pressure'])
+    vt = xarray_api.virtual_temperature(dat_dew['temperature'], w)
+    assert np.all(np.asarray(vt) >= np.asarray(dat_dew['temperature']) - 1e-6)
+
+
+def test_valid_data_dataset(dat):
+    ok = xarray_api.valid_data(dat)
+    assert ok.all()
+    bad = dat.copy()
+    pv = np.asarray(bad['pressure'].values).copy()
+    pv[0, 0, 5] = pv[0, 0, 4] + 10.0   # non-monotonic column
+    bad['pressure'] = (bad['pressure'].dims, pv)
+    with pytest.raises(AssertionError):
+        xarray_api.valid_data(bad)
+    mask = xarray_api.valid_data(bad, strict=False)
+    assert mask.sum() == mask.size - 1

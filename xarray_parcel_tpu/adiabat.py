@@ -34,6 +34,7 @@ modules/parcel_functions.py:39-61).
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -352,6 +353,16 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
                 return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
     _DEFAULT_SOURCE = path
+    explicit = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE')
+    if explicit and os.path.exists(path) and not regenerate:
+        # A user-supplied cache of insufficient precision is never silently
+        # overwritten; the rebuilt tables go to the dtype-keyed default path.
+        warnings.warn(
+            f'table cache {path!r} holds {_stored_dtype(path)} but '
+            f'{desired} was requested; rebuilt tables cached at '
+            f'{default_path!r} instead (pass regenerate=True to overwrite)')
+        path = default_path
+        _DEFAULT_SOURCE = path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     _DEFAULT_TABLES.save(path)
     return _DEFAULT_TABLES

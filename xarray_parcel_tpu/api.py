@@ -135,6 +135,10 @@ def valid_data(dat, strict=True):
     Host-side check via the native C++ ingest runtime (not jittable);
     returns the per-column validity mask, raising on any invalid column when
     ``strict``.
+
+    .. note:: the return value is a boolean *array* (one entry per column),
+       not a scalar — ``if valid_data(d, strict=False):`` is ambiguous for
+       multi-column input; use ``valid_data(d, strict=False).all()``.
     """
     from . import native
     p = np.asarray(dat['pressure'] if isinstance(dat, dict) else dat)

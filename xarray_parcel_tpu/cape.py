@@ -17,6 +17,7 @@ reproducing the reference's rules exactly:
   the virtual-temperature track for both parcel and environment.
 """
 
+import jax
 import jax.numpy as jnp
 
 from . import constants as c
@@ -26,7 +27,8 @@ from .profile import parcel_profile_with_lcl
 
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
-           lcl_temperature, intersections=None):
+           lcl_temperature, intersections=None, log_pressure=None,
+           intersections_in_log=False):
     """Level of free convection and equilibrium level.
 
     Inputs are (…, L) profile tracks (already including the LCL level when
@@ -35,7 +37,11 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     (reference: modules/parcel_functions.py:1066-1198).
     ``intersections``: optional precomputed
     ``find_intersections(p, pt, t, log_x=True)`` (shared with the CAPE
-    integrator by ``cape_cin``).
+    integrator by ``cape_cin``).  When the shared set was built with
+    ``log_outputs=True``, pass ``intersections_in_log=True`` (and ideally
+    the precomputed ``log_pressure``): all pressure comparisons then run in
+    log space — same order, same NaN pattern, zero per-level transcendentals
+    — and only the two scalar outputs are exponentiated.
     """
     p = jnp.asarray(pressure)
     pt = jnp.asarray(parcel_temperature)
@@ -47,100 +53,124 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     ints = (intersections if intersections is not None else
             find_intersections(p, pt, t, log_x=True))
 
+    if intersections_in_log:
+        # Work entirely in log-pressure: log is monotone, so every order
+        # comparison below is unchanged; outputs are exp'd at the end.
+        pw = (log_pressure if log_pressure is not None else
+              jnp.log(p))
+        lclw = jnp.log(lcl_p)
+    else:
+        pw, lclw = p, lcl_p
+
     # Crossing set ignoring the first level: identical except gap 0 is
     # unavailable (reference recomputes on a slice and reindexes :1107-1112).
-    def drop_first(d):
-        out = {}
-        for k, v in d.items():
-            first_nan = jnp.full(v.shape[:-1] + (1,), jnp.nan, v.dtype)
-            out[k] = jnp.concatenate([first_nan, v[..., 1:]], axis=-1)
-        return out
-
-    ints_above = drop_first(ints)
-
+    # Only the four consumed entries are materialised (one select each —
+    # cheaper than rebuilding the whole six-entry dict by concatenation).
+    gaps = ints['increasing_x'].shape
+    gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps, len(gaps) - 1) == 0
     # Where parcel and environment share the exact first-level value, use the
     # crossing set that ignores that point (reference :1114-1120).
     same_first = (t[..., 0] == pt[..., 0])[..., None]
-    ints_sel = {k: jnp.where(same_first, ints_above[k], ints[k])
-                for k in ints}
+    drop_inc = gap0 & same_first
+    inc_x = jnp.where(drop_inc, jnp.nan, ints['increasing_x'])
+    inc_y = jnp.where(drop_inc, jnp.nan, ints['increasing_y'])
+    dec_x_above = jnp.where(gap0, jnp.nan, ints['decreasing_x'])
+    dec_y_above = jnp.where(gap0, jnp.nan, ints['decreasing_y'])
 
     # LFC: bottom-most increasing crossing above the LCL.
-    above_lcl = ints_sel['increasing_x'] < lcl_p[..., None]
-    lfc_p = nanmax(ints_sel['increasing_x'], where=above_lcl)
-    lfc_t = nanmax(ints_sel['increasing_y'],
-                   where=ints_sel['increasing_x'] == lfc_p[..., None])
+    above_lcl = inc_x < lclw[..., None]
+    lfc_p = nanmax(inc_x, where=above_lcl)
+    lfc_t = nanmax(inc_y, where=inc_x == lfc_p[..., None])
 
     # EL: top-most decreasing crossing (always from the above-first set;
     # the temperature match must use the SAME set, else a gap-0 decreasing
     # crossing with same_first=False could match the wrong y).
-    el_p = nanmin(ints_above['decreasing_x'])
-    el_t = nanmax(ints_above['decreasing_y'],
-                  where=ints_above['decreasing_x'] == el_p[..., None])
+    el_p = nanmin(dec_x_above)
+    el_t = nanmax(dec_y_above, where=dec_x_above == el_p[..., None])
 
     # EL existence: parcel colder than environment at the top of the sounding
     # and EL above the LCL (reference :1141-1155).
     temps_available = ~jnp.isnan(pt) & ~jnp.isnan(t)
-    top_p = nanmin(p, where=temps_available)
-    at_top = p == top_p[..., None]
+    top_p = nanmin(pw, where=temps_available)
+    at_top = pw == top_p[..., None]
     top_prof = nanmax(pt, where=at_top)
     top_env = nanmax(t, where=at_top)
-    el_exists = (top_prof <= top_env) & (el_p < lcl_p)
+    el_exists = (top_prof <= top_env) & (el_p < lclw)
     el_p = jnp.where(el_exists, el_p, jnp.nan)
     el_t = jnp.where(el_exists, el_t, jnp.nan)
 
     # LCL substitution rules (USAF1990; reference :1160-1185).
-    lfc_missing = jnp.isnan(nanmax(ints_sel['increasing_x']))
-    above = p < lcl_p[..., None]
+    lfc_missing = jnp.isnan(nanmax(inc_x))
+    above = pw < lclw[..., None]
     # (pt > t is False for NaN pairs, so plain & matches the reference's
     # where().any(); boolean select ops do not lower inside Pallas.)
     pos_parcel = jnp.any(above & (pt > t), axis=-1)
     no_lfc_pos_parcel = pos_parcel & lfc_missing
 
     exists_but_na = ~lfc_missing & jnp.isnan(lfc_p)
-    lfc_below_el_above = exists_but_na & (el_p < lcl_p)
+    lfc_below_el_above = exists_but_na & (el_p < lclw)
 
     replace_with_lcl = no_lfc_pos_parcel | lfc_below_el_above
+
+    extra = {}
+    if intersections_in_log:
+        # Log-space LFC/EL threaded to cape_cin_base under private keys so
+        # its window comparisons never pay (or wobble through) an exp->log
+        # round trip; callers pop them before returning sol to users.
+        extra['_lfc_log_pressure'] = jnp.where(replace_with_lcl, lclw, lfc_p)
+        extra['_el_log_pressure'] = el_p
+        lfc_p = jnp.exp(lfc_p)
+        el_p = jnp.exp(el_p)
     lfc_p = jnp.where(replace_with_lcl, lcl_p, lfc_p)
     lfc_t = jnp.where(replace_with_lcl, lcl_t, lfc_t)
 
     return {'lfc_pressure': lfc_p, 'lfc_temperature': lfc_t,
-            'el_pressure': el_p, 'el_temperature': el_t}
+            'el_pressure': el_p, 'el_temperature': el_t, **extra}
 
 
 def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
                   parcel_temperature, pos_cape_neg_cin=True,
                   post_zero_cin=False, intersections=None,
-                  **unused_kwargs):
+                  log_pressure=None, log_lfc_pressure=None,
+                  log_el_pressure=None, **unused_kwargs):
     """CAPE and CIN from a parcel track and LFC/EL pressures.
 
     (reference: modules/parcel_functions.py:1291-1392).  ``pos_cape_neg_cin``
     counts only positive (negative) buoyancy toward CAPE (CIN) — the
     reference's deliberate deviation from MetPy; ``post_zero_cin`` clamps
     positive CIN to zero (MetPy-style).
+
+    All pressure-window comparisons run in log space (log is monotone, so
+    the selections are identical) against the per-column ``log(lfc)`` /
+    ``log(el)`` scalars — no per-level/per-gap transcendentals beyond the
+    single ``log(pressure)`` (itself skippable via ``log_pressure``).
     """
     p = jnp.asarray(pressure)
     t = jnp.asarray(temperature)
     pt = jnp.asarray(parcel_temperature)
     p, t, pt = jnp.broadcast_arrays(p, t, pt)
-    lfc_p = jnp.asarray(lfc_pressure)[..., None]
+    log_p = log_pressure if log_pressure is not None else jnp.log(p)
+    lfc_lp = (jnp.asarray(log_lfc_pressure) if log_lfc_pressure is not None
+              else jnp.log(jnp.asarray(lfc_pressure)))[..., None]
 
     # Missing EL -> top of sounding (reference :1329-1330).
-    el = jnp.asarray(el_pressure)
-    el_p = jnp.where(jnp.isnan(el), nanmin(p), el)[..., None]
+    el = (jnp.asarray(log_el_pressure) if log_el_pressure is not None
+          else jnp.log(jnp.asarray(el_pressure)))
+    el_lp = jnp.where(jnp.isnan(el), nanmin(log_p), el)[..., None]
 
     diff = pt - t
-    log_p = jnp.log(p)
 
     areas, gap_mask = trap_around_zeros(p, diff, log_x=True, start=0,
-                                        intersections=intersections)
-    area_x = jnp.exp(areas['x'])
+                                        intersections=intersections,
+                                        log_x_values=log_pressure)
+    area_x = areas['x']                        # log-pressure positions
     area = areas['area']
 
     # CAPE: positive buoyancy between LFC and EL.
-    in_cape = (p <= lfc_p) & (p >= el_p)
+    in_cape = (log_p <= lfc_lp) & (log_p >= el_lp)
     diff_cape = jnp.where(in_cape, diff, jnp.nan)
     lp_cape = jnp.where(in_cape, log_p, jnp.nan)
-    a_cape = (area_x <= lfc_p) & (area_x >= el_p)
+    a_cape = (area_x <= lfc_lp) & (area_x >= el_lp)
     if pos_cape_neg_cin:
         a_cape = a_cape & (area > 0)
     cape = c.Rd * trapz(diff_cape, lp_cape, mask=gap_mask,
@@ -148,10 +178,10 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     cape = cape + c.Rd * nansum(area, where=a_cape)
 
     # CIN: negative buoyancy between surface and LFC.
-    in_cin = p >= lfc_p
+    in_cin = log_p >= lfc_lp
     diff_cin = jnp.where(in_cin, diff, jnp.nan)
     lp_cin = jnp.where(in_cin, log_p, jnp.nan)
-    a_cin = area_x >= lfc_p
+    a_cin = area_x >= lfc_lp
     if pos_cape_neg_cin:
         a_cin = a_cin & (area < 0)
     cin = c.Rd * trapz(diff_cin, lp_cin, mask=gap_mask,
@@ -191,15 +221,23 @@ def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
 
     # One crossing set serves both the LFC/EL selection and the exact-area
     # integration (the curves are identical: zero crossings of
-    # parcel - env are crossings of parcel vs env).
+    # parcel - env are crossings of parcel vs env).  ln(p) is computed once
+    # and threaded through intersections, selection and integration; the
+    # crossing set stays in log space end to end (no per-gap exp).
     pp, ptr, env = jnp.broadcast_arrays(profile['pressure'], parcel_track,
                                         env_track)
-    ints = find_intersections(pp, ptr, env, log_x=True)
+    lp = jnp.log(pp)
+    ints = find_intersections(pp, ptr, env, log_x=True, log_x_values=lp,
+                              log_outputs=True)
     sol = lfc_el(profile['pressure'], parcel_track, env_track,
-                 profile['lcl_pressure'], lcl_track_t, intersections=ints)
+                 profile['lcl_pressure'], lcl_track_t, intersections=ints,
+                 log_pressure=lp, intersections_in_log=True)
     res = cape_cin_base(profile['pressure'], env_track,
                         sol['lfc_pressure'], sol['el_pressure'],
-                        parcel_track, intersections=ints, **kwargs)
+                        parcel_track, intersections=ints, log_pressure=lp,
+                        log_lfc_pressure=sol.pop('_lfc_log_pressure'),
+                        log_el_pressure=sol.pop('_el_log_pressure'),
+                        **kwargs)
     merged = dict(profile)
     merged.update(sol)
     return res, merged

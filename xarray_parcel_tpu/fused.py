@@ -64,9 +64,16 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
     vt = thermo.virtual_temperature(temp, w)
     env_vt = thermo.virtual_temperature(t, thermo.mixing_ratio(t, td, p))
 
+    # ln(p) computed ONCE; the spliced column's log-pressure comes from the
+    # same insert_level shifts (no second transcendental), and the crossing
+    # set stays in log space end to end.
+    lp = jnp.log(p)
+    llcl = jnp.log(lcl_p)
+
     # Environment interpolated at the LCL; env virtual T recomputed there
     # (one shared anchor computation for both variables).
-    t_at, td_at = interp_many((t, td), p, lcl_p, log=lcl_interp == 'log')
+    t_at, td_at = interp_many((t, td), p, lcl_p, log=lcl_interp == 'log',
+                              log_coords=lp)
     envvt_at = thermo.virtual_temperature(
         t_at, thermo.mixing_ratio(t_at, td_at, lcl_p))
     envt_at = t_at
@@ -78,25 +85,34 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
         parcel_track, env_track, lcl_track = temp, t, lcl_t
         env_at = envt_at
 
-    fields = {'pressure': p, 'parcel': parcel_track, 'env': env_track}
-    level = {'pressure': lcl_p, 'parcel': lcl_track, 'env': env_at}
+    fields = {'pressure': p, 'log_pressure': lp, 'parcel': parcel_track,
+              'env': env_track}
+    level = {'pressure': lcl_p, 'log_pressure': llcl, 'parcel': lcl_track,
+             'env': env_at}
     if with_lifted_index or with_profile:
         fields.update(ptemp=temp, etemp=t)
         level.update(ptemp=lcl_t, etemp=envt_at)
     ins = insert_level(fields, level)
+    ins_lp = ins['log_pressure']
 
     from .ops import find_intersections
     ints = find_intersections(ins['pressure'], ins['parcel'], ins['env'],
-                              log_x=True)
+                              log_x=True, log_x_values=ins_lp,
+                              log_outputs=True)
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
-                 lcl_track, intersections=ints)
+                 lcl_track, intersections=ints, log_pressure=ins_lp,
+                 intersections_in_log=True)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
                         sol['el_pressure'], ins['parcel'],
-                        intersections=ints, **cape_kwargs)
+                        intersections=ints, log_pressure=ins_lp,
+                        log_lfc_pressure=sol.pop('_lfc_log_pressure'),
+                        log_el_pressure=sol.pop('_el_log_pressure'),
+                        **cape_kwargs)
     if with_lifted_index:
-        res['lifted_index'] = (
-            log_interp(ins['etemp'], ins['pressure'], 500.0) -
-            log_interp(ins['ptemp'], ins['pressure'], 500.0))
+        env500, par500 = interp_many(
+            (ins['etemp'], ins['ptemp']), ins['pressure'], 500.0,
+            log=True, log_coords=ins_lp)
+        res['lifted_index'] = env500 - par500
     if with_profile:
         res['profile'] = (ins['pressure'], ins['ptemp'], ins['etemp'])
     return res, sol
@@ -216,13 +232,16 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     if tables is None:
         tables = adiabat.default_tables()
     p = jnp.asarray(pressure)
-    batch_shape = p.shape[:-1]
-    L = p.shape[-1]
-    p = p.reshape((-1, L))
-    t = jnp.broadcast_to(jnp.asarray(temperature),
-                         batch_shape + (L,)).reshape((-1, L))
-    td = jnp.broadcast_to(jnp.asarray(dewpoint),
-                          batch_shape + (L,)).reshape((-1, L))
+    t = jnp.asarray(temperature)
+    td = jnp.asarray(dewpoint)
+    # Batch shape from ALL three inputs (a shared 1-D pressure vector with
+    # batched temperature/dewpoint is legal, as in cape.cape_cin).
+    full = jnp.broadcast_shapes(p.shape, t.shape, td.shape)
+    batch_shape = full[:-1]
+    L = full[-1]
+    p = jnp.broadcast_to(p, full).reshape((-1, L))
+    t = jnp.broadcast_to(t, full).reshape((-1, L))
+    td = jnp.broadcast_to(td, full).reshape((-1, L))
     B = p.shape[0]
 
     def flat_scalar(x, default):
@@ -244,18 +263,30 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     a = jnp.clip(fidx - c0, 0.0, 1.0)[..., None]
     row = tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a
     row = jnp.where(jnp.isnan(fidx)[..., None], jnp.nan, row)
+    # The kernel computes in the input dtype; wider tables (e.g. f64 test
+    # tables against f32 data) must not promote values past the output refs.
+    row = row.astype(p.dtype)
     K = row.shape[-1]
 
     scalars = jnp.stack([lcl_p, lcls['lcl_temperature'],
                          lcls['lcl_virtual_temperature'], w0, t0, p0],
-                        axis=-1)                       # (B, 6)
+                        axis=-1).astype(p.dtype)       # (B, 6)
 
     # --- pad the column count to a whole number of blocks (NaN columns) ---
-    # Block height auto-clamps so the kernel's ~40 live (TB, L+1) arrays fit
-    # VMEM (~16 MB scoped limit; TB=256 at L=91 measured optimal, TB=512 OOMs).
+    # Block height auto-clamps so the kernel's live (TB, L+1) arrays fit VMEM
+    # (~16 MB scoped limit; TB=256 at L=91 measured optimal for the base
+    # config, TB=512 OOMs => ~90 live arrays).  The optional tracks raise the
+    # live count: ptemp/etemp thread through insert_level + the crossing set
+    # (~+30), and profile outputs add three more (TB, L+1) buffers.
+    live_arrays = 90
+    if with_lifted_index or with_profile:
+        live_arrays += 30
+    if with_profile:
+        live_arrays += 6
     vmem_budget = 11 << 20
     itemsize = jnp.dtype(p.dtype).itemsize
-    tb_fit = max(8, vmem_budget // ((L + 1) * itemsize * 90) // 8 * 8)
+    tb_fit = max(8, vmem_budget // ((L + 1) * itemsize * live_arrays)
+                 // 8 * 8)
     TB = min(block_columns, tb_fit, max(8, B))
     pad = (-B) % TB
     if pad:

@@ -44,7 +44,8 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False):
     return jnp.sum(jnp.where(sel, areas, 0.0), axis=-1)
 
 
-def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
+def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
+                      log_x_values=None):
     """Rectangle areas hugging each zero crossing of ``y`` along ``x``.
 
     ``intersections``: optional precomputed crossing set for the SAME curves
@@ -82,7 +83,13 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None):
         zx = ints['all_x']
     crossing = ~jnp.isnan(ints['all_x'])
 
-    xl = jnp.log(xs) if log_x else xs
+    if log_x:
+        if log_x_values is not None:
+            xl = log_x_values[..., start:] if start else log_x_values
+        else:
+            xl = jnp.log(xs)
+    else:
+        xl = xs
 
     # Safe crossing positions for the arithmetic below: NaN positions
     # (no crossing / poisoned gaps / NaN-padded levels) would otherwise leak

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from .reduce import nanmax, nanmin, nanmean
 
 
-def interp_many(xs, coords, at, extrapolate=False, log=False):
+def interp_many(xs, coords, at, extrapolate=False, log=False,
+                log_coords=None):
     """Interpolate SEVERAL (…, L) variables at one per-column target ``at``
     sharing one anchor computation (the anchor selection is ~8 masked
     reductions over the level axis — the dominant cost of an interpolation —
@@ -29,9 +30,11 @@ def interp_many(xs, coords, at, extrapolate=False, log=False):
 
     ``xs``: dict/sequence of arrays.  Semantics per variable match
     ``linear_interp`` exactly.  Returns the same container type.
+    ``log_coords``: optional precomputed ``log(coords)`` (hot-path threading;
+    only used when ``log``).
     """
     if log:
-        coords = jnp.log(coords)
+        coords = log_coords if log_coords is not None else jnp.log(coords)
         at = jnp.log(jnp.asarray(at))
     at = jnp.asarray(at)
     atb = at[..., None]

@@ -11,7 +11,8 @@ NaN-aware reductions in the LFC/EL solver.
 import jax.numpy as jnp
 
 
-def find_intersections(x, a, b, log_x=False):
+def find_intersections(x, a, b, log_x=False, log_x_values=None,
+                       log_outputs=False):
     """Find crossings of curves ``a`` and ``b`` sharing coords ``x`` (…, L).
 
     Returns a dict of (…, L-1) arrays: ``all_x``/``all_y`` (every crossing),
@@ -20,9 +21,15 @@ def find_intersections(x, a, b, log_x=False):
     (k, k+1); NaN where there is none.  Matches the reference's convention of
     reporting the crossing at the *after* index, including its handling of
     exact touches (sign hits 0) and NaN-poisoned gaps.
+
+    Hot-path threading: ``log_x_values`` supplies a precomputed ``log(x)``
+    (saving the transcendental), and ``log_outputs=True`` keeps every ``*_x``
+    output in LOG space — order/NaN-pattern identical, no per-gap ``exp`` —
+    for consumers that only compare positions (lfc_el / cape_cin_base with
+    ``intersections_in_log=True``).
     """
     if log_x:
-        x = jnp.log(x)
+        x = log_x_values if log_x_values is not None else jnp.log(x)
 
     sign = jnp.sign(a - b)
     s0 = sign[..., :-1]
@@ -55,7 +62,7 @@ def find_intersections(x, a, b, log_x=False):
     intersect_x = jnp.where(crossing, intersect_x, nan)
     intersect_y = jnp.where(crossing, intersect_y, nan)
 
-    if log_x:
+    if log_x and not log_outputs:
         out_x = jnp.exp(intersect_x)
     else:
         out_x = intersect_x

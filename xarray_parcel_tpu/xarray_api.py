@@ -9,8 +9,19 @@ lowers to (optionally mesh-sharded) ``jax.Array``s, runs the jitted pipeline,
 and lifts results back to xarray objects with the same variable names and
 attrs the reference emits.
 
-xarray is an optional dependency (the compute core never imports it); all
-public functions raise a clear ImportError if it is missing.
+The surface mirrors the reference per function — a user migrating
+DataArray-based code finds ``lcl``, ``parcel_profile[_with_lcl]``,
+``lfc_el``, ``cape_cin``, the three parcel-variant CAPE functions,
+``wet_bulb_temperature``, the scalar diagnostics and the pipelines under
+the same names with the same ``vert_dim``/``prefix`` keywords
+(reference: modules/parcel_functions.py:609, 712, 806, 1066, 1394, 1477,
+1557, 1651, 1722, 2216).
+
+xarray is an optional dependency: when installed it is used directly; when
+absent the vendored minimal :mod:`xarray_parcel_tpu.xr_lite` provides the
+same Dataset/DataArray shape, so this boundary works (and is tested)
+everywhere.  Every jitted entry is cached at module level keyed on
+(function, static options), so repeated Dataset calls never retrace.
 
 Typical switch from the reference::
 
@@ -27,16 +38,23 @@ import functools
 import jax
 import numpy as np
 
-from . import native
+from . import adiabat, native
+from . import cape as _cape
+from . import diagnostics as _diag
 from . import pipeline as _pipeline
+from . import profile as _profile
+from . import thermo as _thermo
 from .adiabat import load_moist_adiabat_lookups  # noqa: F401  (re-export)
 from .fieldset import attrs_for
+from .lcl import lcl as _lcl
+from .parcels import (mixed_layer_cape_cin as _ml_cape_cin,
+                      most_unstable_cape_cin as _mu_cape_cin)
 
 try:
     import xarray as xr
     HAVE_XARRAY = True
-except ImportError:         # pragma: no cover - exercised only without xarray
-    xr = None
+except ImportError:          # pragma: no cover - exercised only with xarray
+    from . import xr_lite as xr
     HAVE_XARRAY = False
 
 DEFAULT_VERT_DIM = 'model_level_number'
@@ -48,11 +66,115 @@ _LEVEL_VARS = ('pressure', 'temperature', 'specific_humidity', 'dewpoint',
                'wind_height_above_surface')
 
 
-def _require_xarray():
-    if not HAVE_XARRAY:
-        raise ImportError(
-            'xarray is required for xarray_parcel_tpu.xarray_api; install '
-            'xarray or use the array API (xarray_parcel_tpu.api) directly.')
+# ---------------------------------------------------------------------------
+# jit cache: one compiled program per (function, static options), tables and
+# data passed as traced pytree arguments — repeated Dataset calls reuse it.
+# ---------------------------------------------------------------------------
+
+_JIT_CACHE = {}
+
+
+def _jitted(fn, static_items=()):
+    key = (fn, tuple(static_items))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(functools.partial(fn,
+                                                    **dict(static_items)))
+    return _JIT_CACHE[key]
+
+
+def _resolve_tables(tables):
+    return tables if tables is not None else adiabat.default_tables()
+
+
+# ---------------------------------------------------------------------------
+# Lowering (DataArray/Dataset -> arrays) and lifting (arrays -> Dataset)
+# ---------------------------------------------------------------------------
+
+def _is_dataset(obj):
+    return hasattr(obj, 'data_vars')
+
+
+def _batch_dims_of(args, vert_dim):
+    """Ordered non-vertical dims from the first level-carrying argument."""
+    for a in args:
+        if hasattr(a, 'dims') and vert_dim in a.dims:
+            return tuple(d for d in a.dims if d != vert_dim)
+    for a in args:
+        if hasattr(a, 'dims'):
+            return tuple(a.dims)
+    return ()
+
+
+def _coords_of(args, batch_dims):
+    for a in args:
+        if hasattr(a, 'coords'):
+            return {d: a.coords[d] for d in batch_dims if d in a.coords}
+    return {}
+
+
+def _lower(a, vert_dim, batch_dims):
+    """One DataArray (or array) -> ndarray, batch dims leading in the shared
+    order, vertical dim trailing."""
+    if a is None or np.isscalar(a):
+        return a
+    if hasattr(a, 'dims'):
+        order = tuple(d for d in batch_dims if d in a.dims)
+        trail = (vert_dim,) if vert_dim in a.dims else ()
+        a = a.transpose(*order, *trail)
+        return np.asarray(a.values)
+    return np.asarray(a)
+
+
+def _lift(result, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
+          descriptions=None):
+    """Dict of (batch…[, L]) arrays -> Dataset with reference attrs.
+
+    Arrays with one more axis than the batch get ``vert_dim`` as their
+    trailing dim (profile tracks; the size may be L+1 after an LCL splice,
+    so no vertical coordinate is attached).
+    """
+    data_vars = {}
+    for name, arr in result.items():
+        arr = np.asarray(jax.device_get(arr))
+        if arr.ndim == len(batch_dims) + 1:
+            dims = batch_dims + (vert_dim,)
+        else:
+            dims = batch_dims[:arr.ndim]
+        attrs = attrs_for(name)
+        if descriptions and name in descriptions:
+            attrs['description'] = descriptions[name]
+        data_vars[name] = (dims, arr, attrs)
+    ds = xr.Dataset(data_vars)
+    if coords:
+        ds = ds.assign_coords({k: v for k, v in coords.items()
+                               if k in ds.dims})
+    return ds
+
+
+def _lift_da(arr, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
+             name=None):
+    """One array -> DataArray (helper for scalar-field entry points)."""
+    arr = np.asarray(jax.device_get(arr))
+    if arr.ndim == len(batch_dims) + 1:
+        dims = batch_dims + (vert_dim,)
+    else:
+        dims = batch_dims[:arr.ndim]
+    da = xr.DataArray(arr, dims=dims, attrs=attrs_for(name) if name else {},
+                      name=name)
+    if coords and hasattr(da, 'assign_coords'):
+        try:
+            da = da.assign_coords({k: v for k, v in coords.items()
+                                   if k in da.dims})
+        except (AttributeError, TypeError):  # xr_lite carries coords as-is
+            pass
+    return da
+
+
+def _rename(ds_dict, prefix, keys):
+    if prefix is None:
+        return ds_dict
+    return {(f'{prefix}_{k}' if k in keys else k): v
+            for k, v in ds_dict.items()}
 
 
 def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
@@ -64,7 +186,6 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     (the TPU analogue of the reference's dask chunking,
     reference: modules/parcel_functions.py:561-592).
     """
-    _require_xarray()
     names = variables or [v for v in _LEVEL_VARS if v in dat] + \
         [v for v in ('surface_wind_u', 'surface_wind_v') if v in dat]
     batch_dims = tuple(d for d in dat[names[0]].dims if d != vert_dim)
@@ -86,34 +207,26 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     if mesh is not None:
         from .parallel import shard_batch
         fields = shard_batch(fields, mesh, batch_dims=1)
-    else:
-        fields = {k: jax.numpy.asarray(v) for k, v in fields.items()}
     return fields, batch_dims
 
 
-def to_dataset(result, batch_dims, coords=None):
+def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
     """Lift a dict of (batch…) arrays to a Dataset with reference attrs."""
-    _require_xarray()
-    data_vars = {}
-    for name, arr in result.items():
-        arr = np.asarray(jax.device_get(arr))
-        dims = batch_dims[:arr.ndim]
-        data_vars[name] = (dims, arr, attrs_for(name))
-    ds = xr.Dataset(data_vars)
-    if coords is not None:
-        ds = ds.assign_coords({k: v for k, v in coords.items()
-                               if k in ds.dims})
-    return ds
+    return _lift(result, tuple(batch_dims), vert_dim=vert_dim, coords=coords)
 
+
+# ---------------------------------------------------------------------------
+# Pipelines (Dataset in / Dataset out)
+# ---------------------------------------------------------------------------
 
 def _dataset_pipeline(fn):
     @functools.wraps(fn)
     def wrapper(dat, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None,
                 **kwargs):
-        _require_xarray()
         fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=mesh)
-        run = jax.jit(functools.partial(fn, tables=tables, **kwargs))
-        out = run(fields)
+        tables = _resolve_tables(tables)
+        run = _jitted(fn, sorted(kwargs.items()))
+        out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
         return to_dataset(out, batch_dims, coords=coords)
     return wrapper
@@ -126,33 +239,388 @@ min_conv_properties = _dataset_pipeline(_pipeline.min_conv_properties)
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
     """Storm proxies from a conv_properties Dataset
     (reference: modules/parcel_functions.py:2323-2407)."""
-    _require_xarray()
-    fields = {k: jax.numpy.asarray(np.asarray(conv[k].values))
-              for k in conv.data_vars}
-    out = jax.jit(_pipeline.storm_proxies)(fields)
+    fields = {k: np.asarray(conv[k].values) for k in conv.data_vars}
+    out = _jitted(_pipeline.storm_proxies)(fields)
     batch_dims = tuple(conv[list(conv.data_vars)[0]].dims)
     coords = {d: conv.coords[d] for d in batch_dims if d in conv.coords}
     return to_dataset(out, batch_dims, coords=coords)
 
 
-def surface_based_cape_cin(dat, vert_dim=DEFAULT_VERT_DIM, tables=None,
-                           fused=True, **kwargs):
+def valid_data(dat, vert_dim=DEFAULT_VERT_DIM, strict=True):
+    """Validate the reference's input invariants (pressure strictly
+    decreasing with level; reference: modules/parcel_functions.py:2308-2321)
+    on a Dataset via the native ingest runtime.  Returns the per-column
+    validity mask; with ``strict`` raises if any column is invalid."""
+    batch_dims = _batch_dims_of([dat['pressure']], vert_dim)
+    p = _lower(dat['pressure'], vert_dim, batch_dims)
+    ok = native.validate_columns(np.asarray(p))
+    if strict:
+        assert np.all(ok), \
+            'Pressures must decrease with increasing level number.'
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# Per-function surface (DataArray in / Dataset or DataArray out)
+# ---------------------------------------------------------------------------
+
+def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint):
+    """Lifting condensation level for parcels
+    (reference: modules/parcel_functions.py:609-682).  NaN inputs give NaN
+    outputs (no dummy-value substitution needed — the solver is
+    NaN-transparent)."""
+    args = (parcel_pressure, parcel_temperature, parcel_dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim=None)
+    low = [_lower(a, None, batch_dims) for a in args]
+    out = _jitted(_lcl)(*low)
+    return _lift(out, batch_dims, coords=_coords_of(args, batch_dims))
+
+
+def parcel_profile(pressure, parcel_pressure, parcel_temperature,
+                   parcel_dewpoint, vert_dim=DEFAULT_VERT_DIM, tables=None,
+                   moist_lapse=None):
+    """Temperatures of a lifted parcel
+    (reference: modules/parcel_functions.py:712-780)."""
+    args = (pressure, parcel_pressure, parcel_temperature, parcel_dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_profile.parcel_profile,
+                  (('moist_lapse', moist_lapse),))
+    out = run(low[0], low[1], low[2], low[3],
+              tables=_resolve_tables(tables))
+    return _lift(out, batch_dims, vert_dim=vert_dim,
+                 coords=_coords_of(args, batch_dims))
+
+
+def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
+                            parcel_temperature, parcel_dewpoint,
+                            vert_dim=DEFAULT_VERT_DIM, lcl_interp='log',
+                            tables=None, moist_lapse=None):
+    """Parcel profile including the LCL level, plus the environment tracks
+    spliced at the LCL (reference: modules/parcel_functions.py:806-856).
+    Output columns have L+1 levels."""
+    args = (pressure, temperature, dewpoint, parcel_pressure,
+            parcel_temperature, parcel_dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_profile.parcel_profile_with_lcl,
+                  (('lcl_interp', lcl_interp), ('moist_lapse', moist_lapse)))
+    out = run(*low, tables=_resolve_tables(tables))
+    return _lift(out, batch_dims, vert_dim=vert_dim,
+                 coords=_coords_of(args, batch_dims))
+
+
+def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
+           lcl_temperature, vert_dim=DEFAULT_VERT_DIM):
+    """Level of free convection and equilibrium level
+    (reference: modules/parcel_functions.py:1066-1198)."""
+    args = (pressure, parcel_temperature, temperature, lcl_pressure,
+            lcl_temperature)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    out = _jitted(_cape.lfc_el)(*low)
+    return _lift(out, batch_dims, coords=_coords_of(args, batch_dims))
+
+
+def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
+             parcel_pressure, parcel_dewpoint, vert_dim=DEFAULT_VERT_DIM,
+             tables=None, **kwargs):
+    """CAPE/CIN for an arbitrary parcel; returns (Dataset, profile Dataset)
+    (reference: modules/parcel_functions.py:1394-1475)."""
+    args = (pressure, temperature, dewpoint, parcel_temperature,
+            parcel_pressure, parcel_dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_cape.cape_cin, sorted(kwargs.items()))
+    res, profile = run(low[0], low[1], low[2], low[3], low[4], low[5],
+                       tables=_resolve_tables(tables))
+    coords = _coords_of(args, batch_dims)
+    return (_lift(res, batch_dims, coords=coords),
+            _lift(profile, batch_dims, vert_dim=vert_dim, coords=coords))
+
+
+def _cape_variant(core, res_extras):
+    """Shared wrapper for the three parcel-choice CAPE entry points."""
+    def wrapper(pressure, temperature, dewpoint,
+                vert_dim=DEFAULT_VERT_DIM, prefix=None, tables=None,
+                **kwargs):
+        if _is_dataset(pressure):
+            raise TypeError(
+                'pass pressure/temperature/dewpoint DataArrays (the '
+                'reference signature); for Dataset-level pipelines use '
+                'conv_properties / surface_based_cape_cin_dataset')
+        args = (pressure, temperature, dewpoint)
+        batch_dims = _batch_dims_of(args, vert_dim)
+        low = [_lower(a, vert_dim, batch_dims) for a in args]
+        run = _jitted(core, sorted(kwargs.items()))
+        out = run(*low, tables=_resolve_tables(tables))
+        res, rest = out[0], out[1:]
+        coords = _coords_of(args, batch_dims)
+        desc = res_extras(kwargs)
+        res = _lift(_rename(res, prefix, ('cape', 'cin')), batch_dims,
+                    coords=coords, descriptions=desc)
+        lifted = tuple(_lift(r, batch_dims, vert_dim=vert_dim, coords=coords)
+                       for r in rest)
+        return (res,) + lifted
+    return wrapper
+
+
+def _sb_core(pressure, temperature, dewpoint, tables=None, **kwargs):
+    return _cape.surface_based_cape_cin(pressure, temperature, dewpoint,
+                                        tables=tables, **kwargs)
+
+
+surface_based_cape_cin = _cape_variant(
+    _sb_core, lambda kw: {'cape': 'CAPE for surface-based parcel.',
+                          'cin': 'CIN for surface-based parcel.'})
+surface_based_cape_cin.__doc__ = (
+    'Surface-based CAPE and CIN; returns (Dataset, profile Dataset) '
+    '(reference: modules/parcel_functions.py:1477-1514).')
+
+
+def _mu_desc(kwargs):
+    depth = kwargs.get('depth', 300)
+    d = f'most-unstable parcel in lowest {depth} hPa.'
+    return {'cape': f'CAPE for {d}', 'cin': f'CIN for {d}'}
+
+
+def _ml_desc(kwargs):
+    depth = kwargs.get('depth', 100)
+    d = f'fully-mixed lowest {depth} hPa parcel'
+    return {'cape': f'CAPE for {d}.', 'cin': f'CIN for {d}'}
+
+
+most_unstable_cape_cin = _cape_variant(_mu_cape_cin, _mu_desc)
+most_unstable_cape_cin.__doc__ = (
+    'Most-unstable-parcel CAPE/CIN; returns (Dataset, profile Dataset, '
+    'parcel Dataset) (reference: modules/parcel_functions.py:1557-1602).')
+
+mixed_layer_cape_cin = _cape_variant(_ml_cape_cin, _ml_desc)
+mixed_layer_cape_cin.__doc__ = (
+    'Fully-mixed-layer CAPE/CIN; returns (Dataset, profile Dataset, parcel '
+    'Dataset) (reference: modules/parcel_functions.py:1651-1697).')
+
+
+def surface_based_cape_cin_dataset(dat, vert_dim=DEFAULT_VERT_DIM,
+                                   tables=None, fused=True, **kwargs):
     """Surface-based CAPE/CIN from a Dataset with pressure / temperature /
-    dewpoint (reference: modules/parcel_functions.py:1477-1514).  With
-    ``fused`` the Pallas production kernel is used (no profile output)."""
-    _require_xarray()
+    dewpoint variables.  With ``fused`` the Pallas production kernel is used
+    (no profile output; LFC/EL included in the result)."""
     fields, batch_dims = from_dataset(
         dat, vert_dim=vert_dim,
         variables=['pressure', 'temperature', 'dewpoint'])
+    tables = _resolve_tables(tables)
     if fused:
         from .fused import fused_surface_cape_cin
-        res, sol = jax.jit(functools.partial(
-            fused_surface_cape_cin, tables=tables, **kwargs))(
-            fields['pressure'], fields['temperature'], fields['dewpoint'])
-        res = dict(res, **sol)
+
+        def _run(p, t, td, tables=None, **kw):
+            res, sol = fused_surface_cape_cin(p, t, td, tables=tables, **kw)
+            return dict(res, **sol)
+
+        res = _jitted(_run, sorted(kwargs.items()))(
+            fields['pressure'], fields['temperature'], fields['dewpoint'],
+            tables=tables)
     else:
-        from .cape import surface_based_cape_cin as _sb
-        res, _ = jax.jit(functools.partial(_sb, tables=tables, **kwargs))(
-            fields['pressure'], fields['temperature'], fields['dewpoint'])
+        def _run(p, t, td, tables=None, **kw):
+            res, _ = _cape.surface_based_cape_cin(p, t, td, tables=tables,
+                                                  **kw)
+            return res
+
+        res = _jitted(_run, sorted(kwargs.items()))(
+            fields['pressure'], fields['temperature'], fields['dewpoint'],
+            tables=tables)
     coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
     return to_dataset(res, batch_dims, coords=coords)
+
+
+def lifted_index(profile, vert_dim=DEFAULT_VERT_DIM, description=None,
+                 prefix=None):
+    """Galway lifted index from a parcel_profile_with_lcl Dataset
+    (reference: modules/parcel_functions.py:1722-1756)."""
+    batch_dims = tuple(d for d in profile['pressure'].dims if d != vert_dim)
+    fields = {k: _lower(profile[k], vert_dim, batch_dims)
+              for k in ('pressure', 'temperature', 'environment_temperature')}
+    out = _jitted(_diag.lifted_index)(fields)
+    desc = {'lifted_index': description} if description else None
+    out = _rename(out, prefix, ('lifted_index',))
+    key = f'{prefix}_lifted_index' if prefix else 'lifted_index'
+    if desc:
+        desc = {key: description}
+    coords = _coords_of([profile[k] for k in profile.data_vars], batch_dims)
+    return _lift(out, batch_dims, coords=coords, descriptions=desc)
+
+
+def deep_convective_index(pressure, temperature, dewpoint, lifted_index,
+                          vert_dim=DEFAULT_VERT_DIM, prefix=None,
+                          description=None):
+    """Kunz DCI (reference: modules/parcel_functions.py:1830-1870)."""
+    args = (pressure, temperature, dewpoint, lifted_index)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    out = _jitted(_diag.deep_convective_index)(*low)
+    out = _rename(out, prefix, ('dci',))
+    key = f'{prefix}_dci' if prefix else 'dci'
+    desc = {key: description} if description else None
+    return _lift(out, batch_dims, coords=_coords_of(args, batch_dims),
+                 descriptions=desc)
+
+
+def wet_bulb_temperature(pressure, temperature, dewpoint,
+                         vert_dim=DEFAULT_VERT_DIM, tables=None,
+                         moist_lapse=None):
+    """Exact wet-bulb temperature (fully vectorised Normand's rule;
+    reference: modules/parcel_functions.py:389-445)."""
+    args = (pressure, temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_diag.wet_bulb_temperature,
+                  (('moist_lapse', moist_lapse),))
+    out = run(*low, tables=_resolve_tables(tables))
+    return _lift_da(out, batch_dims, vert_dim=vert_dim,
+                    coords=_coords_of(args, batch_dims),
+                    name='wet_bulb_temperature')
+
+
+def wet_bulb_temperature_fast(temperature, dewpoint):
+    """Knox (2017) one-third-rule wet bulb
+    (reference: modules/parcel_functions.py:364-387)."""
+    args = (temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, None)
+    low = [_lower(a, None, batch_dims) for a in args]
+    out = _jitted(_thermo.wet_bulb_temperature_fast)(*low)
+    return _lift_da(out, batch_dims, coords=_coords_of(args, batch_dims),
+                    name='wet_bulb_temperature')
+
+
+def lapse_rate(pressure, temperature, height, from_pressure=700.0,
+               to_pressure=500.0, vert_dim=DEFAULT_VERT_DIM):
+    """Lapse rate between two pressure levels
+    (reference: modules/parcel_functions.py:2102-2135)."""
+    args = (pressure, temperature, height)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_diag.lapse_rate, (('from_pressure', float(from_pressure)),
+                                     ('to_pressure', float(to_pressure))))
+    return _lift_da(run(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims),
+                    name='lapse_rate_700_500')
+
+
+def isobar_temperature(pressure, temperature, isobar,
+                       vert_dim=DEFAULT_VERT_DIM):
+    """Temperature at a pressure level
+    (reference: modules/parcel_functions.py:2193-2214)."""
+    args = (pressure, temperature)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_diag.isobar_temperature, (('isobar', float(isobar)),))
+    return _lift_da(run(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims), name='temp_500')
+
+
+def freezing_level_height(temperature, height, vert_dim=DEFAULT_VERT_DIM):
+    """Height of the 0 C dry-bulb isotherm
+    (reference: modules/parcel_functions.py:2137-2160)."""
+    args = (temperature, height)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    return _lift_da(_jitted(_diag.freezing_level_height)(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims),
+                    name='freezing_level')
+
+
+def melting_level_height(pressure, temperature, dewpoint, height, fast=True,
+                         vert_dim=DEFAULT_VERT_DIM, tables=None):
+    """Height of the 0 C wet-bulb isotherm
+    (reference: modules/parcel_functions.py:2162-2191)."""
+    args = (pressure, temperature, dewpoint, height)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+
+    def _run(p, t, td, h, tables=None, fast=True):
+        mlh, _ = _diag.melting_level_height(p, t, td, h, fast=fast,
+                                            tables=tables)
+        return mlh
+
+    run = _jitted(_run, (('fast', bool(fast)),))
+    return _lift_da(run(*low, tables=_resolve_tables(tables)), batch_dims,
+                    coords=_coords_of(args, batch_dims),
+                    name='melting_level')
+
+
+def wind_shear(surface_wind_u, surface_wind_v, wind_u, wind_v, height,
+               shear_height=6000.0, vert_dim=DEFAULT_VERT_DIM):
+    """Bulk wind shear to ``shear_height``
+    (reference: modules/parcel_functions.py:2216-2259)."""
+    args = (surface_wind_u, surface_wind_v, wind_u, wind_v, height)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_diag.wind_shear, (('shear_height', float(shear_height)),))
+    return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
+
+
+def significant_hail_parameter(mucape, mixing_ratio, lapse, temp_500, shear,
+                               flh):
+    """SPC significant hail parameter
+    (reference: modules/parcel_functions.py:2261-2306)."""
+    args = (mucape, mixing_ratio, lapse, temp_500, shear, flh)
+    batch_dims = _batch_dims_of(args, None)
+    low = [_lower(a, None, batch_dims) for a in args]
+    out = _jitted(_diag.significant_hail_parameter)(*low)
+    return _lift_da(out, batch_dims, coords=_coords_of(args, batch_dims),
+                    name='ship')
+
+
+def dry_lapse(pressure, parcel_temperature, parcel_pressure=None,
+              vert_dim=DEFAULT_VERT_DIM):
+    """Dry adiabat along a column (reference:
+    modules/parcel_functions.py:291-316)."""
+    from . import api as _api
+    args = (pressure, parcel_temperature, parcel_pressure)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    out = _jitted(_api.dry_lapse)(low[0], low[1]) if low[2] is None else \
+        _jitted(_api.dry_lapse)(low[0], low[1], low[2])
+    return _lift_da(out, batch_dims, vert_dim=vert_dim,
+                    coords=_coords_of(args, batch_dims), name='temperature')
+
+
+def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
+                vert_dim=DEFAULT_VERT_DIM, tables=None):
+    """Moist adiabat along a column via the spectral table consumer
+    (reference: modules/parcel_functions.py:525-607)."""
+    args = (pressure, parcel_temperature, parcel_pressure)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    tables = _resolve_tables(tables)
+    if low[2] is None:
+        out = _jitted(adiabat.moist_lapse)(low[0], low[1], tables=tables)
+    else:
+        out = _jitted(adiabat.moist_lapse)(low[0], low[1], low[2],
+                                           tables=tables)
+    return _lift_da(out, batch_dims, vert_dim=vert_dim,
+                    coords=_coords_of(args, batch_dims), name='temperature')
+
+
+def mixing_ratio(temperature, dewpoint, pressure):
+    """Mixing ratio via the reference's RH route
+    (reference: modules/parcel_functions.py:684-710)."""
+    args = (temperature, dewpoint, pressure)
+    batch_dims = _batch_dims_of(args, None)
+    low = [_lower(a, None, batch_dims) for a in args]
+    out = _jitted(_thermo.mixing_ratio)(*low)
+    return _lift_da(out, batch_dims, coords=_coords_of(args, batch_dims),
+                    name='mixing_ratio')
+
+
+def virtual_temperature(temperature, mixing_ratio, epsilon=0.608):
+    """Doswell-Rasmussen virtual temperature
+    (reference: modules/parcel_functions.py:782-804)."""
+    args = (temperature, mixing_ratio)
+    batch_dims = _batch_dims_of(args, None)
+    low = [_lower(a, None, batch_dims) for a in args]
+    run = _jitted(_thermo.virtual_temperature,
+                  (('epsilon', float(epsilon)),))
+    return _lift_da(run(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims),
+                    name='virtual_temperature')
