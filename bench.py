@@ -147,8 +147,11 @@ def main():
 
     # --- full pipeline (the reference's headline benchmark) ---
     # (the modular XLA pipeline beats the fused-kernel variant here — the
-    # three solves' column prep dominates; see conv_properties_fused)
-    B_pipe = 1 << 18
+    # three solves' column prep dominates; see conv_properties_fused.
+    # 2^19 columns: large enough that the tunnel's ~35 ms dispatch floor is
+    # <15% of an iteration; 2^20 sends XLA's scheduler into a minutes-long
+    # memory-pressure compile on this 16 GB chip.)
+    B_pipe = 1 << 19
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
     @jax.jit

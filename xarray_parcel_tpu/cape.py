@@ -21,14 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as c
-from .ops import (find_intersections, nanmax, nanmin, nansum,
-                  trap_around_zeros, trapz)
+from .ops import (find_intersections, nanmax, nanmin, nansum, safe_exp,
+                  safe_log, trap_around_zeros, trapz)
 from .profile import parcel_profile_with_lcl
 
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
            lcl_temperature, intersections=None, log_pressure=None,
-           intersections_in_log=False):
+           intersections_in_log=False, first_valid=None):
     """Level of free convection and equilibrium level.
 
     Inputs are (…, L) profile tracks (already including the LCL level when
@@ -57,8 +57,8 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
         # Work entirely in log-pressure: log is monotone, so every order
         # comparison below is unchanged; outputs are exp'd at the end.
         pw = (log_pressure if log_pressure is not None else
-              jnp.log(p))
-        lclw = jnp.log(lcl_p)
+              safe_log(p))
+        lclw = safe_log(lcl_p)
     else:
         pw, lclw = p, lcl_p
 
@@ -66,11 +66,24 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     # unavailable (reference recomputes on a slice and reindexes :1107-1112).
     # Only the four consumed entries are materialised (one select each —
     # cheaper than rebuilding the whole six-entry dict by concatenation).
+    # "First level" means the first level with a valid pressure: columns may
+    # carry a leading-NaN prefix (levels below the launched parcel, masked by
+    # the parcel-subsetting wrappers instead of compacted away — the
+    # reference shifts these out, reference :1552-1553, which on TPU would
+    # cost a per-column shift network; an index offset is free).
+    # ``first_valid`` optionally supplies the index (argmax does not lower
+    # inside Pallas kernels; the fused path precomputes it in XLA).
+    if first_valid is None:
+        first_valid = jnp.argmax(~jnp.isnan(p), axis=-1)
+    k0 = jnp.asarray(first_valid).astype(jnp.int32)[..., None]
     gaps = ints['increasing_x'].shape
-    gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps, len(gaps) - 1) == 0
+    gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps, len(gaps) - 1) == k0
     # Where parcel and environment share the exact first-level value, use the
     # crossing set that ignores that point (reference :1114-1120).
-    same_first = (t[..., 0] == pt[..., 0])[..., None]
+    at_k0 = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1) == k0
+    t0 = nanmax(t, where=at_k0)
+    pt0 = nanmax(pt, where=at_k0)
+    same_first = (t0 == pt0)[..., None]
     drop_inc = gap0 & same_first
     inc_x = jnp.where(drop_inc, jnp.nan, ints['increasing_x'])
     inc_y = jnp.where(drop_inc, jnp.nan, ints['increasing_y'])
@@ -119,8 +132,8 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
         # round trip; callers pop them before returning sol to users.
         extra['_lfc_log_pressure'] = jnp.where(replace_with_lcl, lclw, lfc_p)
         extra['_el_log_pressure'] = el_p
-        lfc_p = jnp.exp(lfc_p)
-        el_p = jnp.exp(el_p)
+        lfc_p = safe_exp(lfc_p)
+        el_p = safe_exp(el_p)
     lfc_p = jnp.where(replace_with_lcl, lcl_p, lfc_p)
     lfc_t = jnp.where(replace_with_lcl, lcl_t, lfc_t)
 
@@ -149,13 +162,13 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     t = jnp.asarray(temperature)
     pt = jnp.asarray(parcel_temperature)
     p, t, pt = jnp.broadcast_arrays(p, t, pt)
-    log_p = log_pressure if log_pressure is not None else jnp.log(p)
+    log_p = log_pressure if log_pressure is not None else safe_log(p)
     lfc_lp = (jnp.asarray(log_lfc_pressure) if log_lfc_pressure is not None
-              else jnp.log(jnp.asarray(lfc_pressure)))[..., None]
+              else safe_log(lfc_pressure))[..., None]
 
     # Missing EL -> top of sounding (reference :1329-1330).
     el = (jnp.asarray(log_el_pressure) if log_el_pressure is not None
-          else jnp.log(jnp.asarray(el_pressure)))
+          else safe_log(el_pressure))
     el_lp = jnp.where(jnp.isnan(el), nanmin(log_p), el)[..., None]
 
     diff = pt - t
@@ -226,7 +239,7 @@ def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
     # crossing set stays in log space end to end (no per-gap exp).
     pp, ptr, env = jnp.broadcast_arrays(profile['pressure'], parcel_track,
                                         env_track)
-    lp = jnp.log(pp)
+    lp = safe_log(pp)
     ints = find_intersections(pp, ptr, env, log_x=True, log_x_values=lp,
                               log_outputs=True)
     sol = lfc_el(profile['pressure'], parcel_track, env_track,

@@ -35,7 +35,7 @@ from .lcl import lcl
 from .ops import insert_level, interp_many, log_interp
 
 
-def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
+def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
                     virtual_temperature_correction=True, lcl_interp='log',
                     with_lifted_index=False, with_profile=False,
                     **cape_kwargs):
@@ -43,32 +43,55 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
 
     ``p``/``t``/``td``: (TB, L); ``row``: (TB, K) blended Chebyshev
     coefficient rows (NaN row = invalid/out-of-envelope parcel);
-    remaining args: (TB,) per-column scalars.  Mirrors
+    remaining args: (TB,) per-column scalars — ``k0`` is the first-valid
+    level index (leading-NaN prefix length of masked sub-parcel columns),
+    precomputed in XLA because argmax does not lower in Mosaic.  Mirrors
     cape.cape_cin(...) for an arbitrary parcel
     (reference: modules/parcel_functions.py:712-780, 806-931, 1394-1475).
     With ``with_lifted_index`` also returns the Galway lifted index from the
     real-temperature tracks (reference: :1722-1756).
     """
+    from .ops import safe_log
+
     lcl_pb = lcl_p[..., None]
 
+    # NaN levels (padded columns / masked sub-parcel prefixes / poisoned
+    # data) must produce NaN outputs but never ENTER the arithmetic:
+    # exp/log/power/multiply leak NaN into reverse-mode cotangents even when
+    # masked downstream (the where-NaN gradient trap), so every track is
+    # computed on safe finite dummies with the NaN pattern applied after.
+    validp = ~jnp.isnan(p)
+    safe_p = jnp.where(validp, p, P_TOP)
+
     # Parcel temperature track: dry below the LCL, spectral moist above.
-    dry = thermo.dry_lapse(p, t0[..., None], p0[..., None])
-    safe_p = jnp.where(jnp.isnan(p), P_TOP, p)
+    dry = thermo.dry_lapse(safe_p, t0[..., None], p0[..., None])
     moist = _eval_spectral(row, safe_p)
     moist = jnp.where((p >= P_BOT) & (p <= P_TOP), moist, jnp.nan)
     temp = jnp.where(p >= lcl_pb, dry, moist)
+    temp = jnp.where(validp, temp, jnp.nan)
 
     # Mixing ratio: parcel's below the LCL, saturated above; virtual temps.
-    sat_w = thermo.saturation_mixing_ratio(p, temp)
+    validt = ~jnp.isnan(temp)
+    safe_temp = jnp.where(validt, temp, 273.15)
+    sat_w = thermo.saturation_mixing_ratio(safe_p, safe_temp)
     w = jnp.where(p <= lcl_pb, sat_w, w0[..., None])
-    vt = thermo.virtual_temperature(temp, w)
-    env_vt = thermo.virtual_temperature(t, thermo.mixing_ratio(t, td, p))
+    vt = jnp.where(validt, thermo.virtual_temperature(safe_temp, w), jnp.nan)
+
+    valid_env = validp & ~jnp.isnan(t) & ~jnp.isnan(td)
+    safe_t = jnp.where(valid_env, t, 273.15)
+    safe_td = jnp.where(valid_env, td, 263.15)
+    env_vt = jnp.where(
+        valid_env,
+        thermo.virtual_temperature(safe_t,
+                                   thermo.mixing_ratio(safe_t, safe_td,
+                                                       safe_p)),
+        jnp.nan)
 
     # ln(p) computed ONCE; the spliced column's log-pressure comes from the
     # same insert_level shifts (no second transcendental), and the crossing
     # set stays in log space end to end.
-    lp = jnp.log(p)
-    llcl = jnp.log(lcl_p)
+    lp = safe_log(p)
+    llcl = safe_log(lcl_p)
 
     # Environment interpolated at the LCL; env virtual T recomputed there
     # (one shared anchor computation for both variables).
@@ -92,7 +115,9 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
     if with_lifted_index or with_profile:
         fields.update(ptemp=temp, etemp=t)
         level.update(ptemp=lcl_t, etemp=envt_at)
-    ins = insert_level(fields, level)
+    # The LCL splices at/above the first valid level, so the leading-NaN
+    # prefix (and with it the first-valid index) is unchanged by the splice.
+    ins = insert_level(fields, level, lead=k0)
     ins_lp = ins['log_pressure']
 
     from .ops import find_intersections
@@ -101,7 +126,7 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0,
                               log_outputs=True)
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
                  lcl_track, intersections=ints, log_pressure=ins_lp,
-                 intersections_in_log=True)
+                 intersections_in_log=True, first_valid=k0)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
                         sol['el_pressure'], ins['parcel'],
                         intersections=ints, log_pressure=ins_lp,
@@ -136,7 +161,7 @@ def _column_outputs(p, t, td, row, scalars, with_lifted_index, with_profile,
     res, sol = _column_program(
         p, t, td, row,
         scalars[:, 0], scalars[:, 1], scalars[:, 2], scalars[:, 3],
-        scalars[:, 4], scalars[:, 5],
+        scalars[:, 4], scalars[:, 5], scalars[:, 6],
         with_lifted_index=with_lifted_index, with_profile=with_profile,
         **kwargs)
     vals = [res['cape'][..., None], res['cin'][..., None],
@@ -188,7 +213,7 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TB, K), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TB, 6), lambda i: (i, 0),
+                pl.BlockSpec((TB, 7), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs,
@@ -268,9 +293,12 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     row = row.astype(p.dtype)
     K = row.shape[-1]
 
+    # First-valid level index (leading-NaN prefix length of masked
+    # sub-parcel columns) — argmax stays in XLA, the kernel gets a scalar.
+    k0 = jnp.argmax(~jnp.isnan(p), axis=-1).astype(p.dtype)
     scalars = jnp.stack([lcl_p, lcls['lcl_temperature'],
-                         lcls['lcl_virtual_temperature'], w0, t0, p0],
-                        axis=-1).astype(p.dtype)       # (B, 6)
+                         lcls['lcl_virtual_temperature'], w0, t0, p0, k0],
+                        axis=-1).astype(p.dtype)       # (B, 7)
 
     # --- pad the column count to a whole number of blocks (NaN columns) ---
     # Block height auto-clamps so the kernel's live (TB, L+1) arrays fit VMEM

@@ -14,6 +14,7 @@ indexed by gap and NaN-marked when absent.
 import jax.numpy as jnp
 
 from .intersect import find_intersections
+from .safe import safe_log
 
 
 def trapz(y, x, mask=None, only_positive=False, only_negative=False):
@@ -78,7 +79,7 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
     if log_x:
         zx = ints.get('all_logx')
         if zx is None:
-            zx = jnp.log(ints['all_x'])
+            zx = safe_log(ints['all_x'])
     else:
         zx = ints['all_x']
     crossing = ~jnp.isnan(ints['all_x'])
@@ -87,7 +88,7 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         if log_x_values is not None:
             xl = log_x_values[..., start:] if start else log_x_values
         else:
-            xl = jnp.log(xs)
+            xl = safe_log(xs)
     else:
         xl = xs
 

@@ -19,6 +19,7 @@ Replaces, TPU-natively, two components of the reference:
 import jax.numpy as jnp
 
 from .reduce import nanmax, nanmin, nanmean
+from .safe import safe_log
 
 
 def interp_many(xs, coords, at, extrapolate=False, log=False,
@@ -34,8 +35,8 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
     only used when ``log``).
     """
     if log:
-        coords = log_coords if log_coords is not None else jnp.log(coords)
-        at = jnp.log(jnp.asarray(at))
+        coords = log_coords if log_coords is not None else safe_log(coords)
+        at = safe_log(jnp.asarray(at))
     at = jnp.asarray(at)
     atb = at[..., None]
 

@@ -10,6 +10,8 @@ NaN-aware reductions in the LFC/EL solver.
 
 import jax.numpy as jnp
 
+from .safe import safe_exp, safe_log
+
 
 def find_intersections(x, a, b, log_x=False, log_x_values=None,
                        log_outputs=False):
@@ -29,7 +31,7 @@ def find_intersections(x, a, b, log_x=False, log_x_values=None,
     ``intersections_in_log=True``).
     """
     if log_x:
-        x = log_x_values if log_x_values is not None else jnp.log(x)
+        x = log_x_values if log_x_values is not None else safe_log(x)
 
     sign = jnp.sign(a - b)
     s0 = sign[..., :-1]
@@ -46,24 +48,36 @@ def find_intersections(x, a, b, log_x=False, log_x_values=None,
 
     delta_y0 = a0 - b0
     delta_y1 = a1 - b1
-    # Guarded denominators: in no-crossing gaps these can be 0 (or NaN), and
-    # an unguarded 0/0 leaks NaN into reverse-mode cotangents even though
-    # the value is masked away below (the where-NaN gradient trap).
-    dy = delta_y1 - delta_y0
-    dy = jnp.where(crossing & (dy != 0) & ~jnp.isnan(dy), dy, 1.0)
-    dx = x1 - x0
-    dx = jnp.where(crossing & (dx != 0) & ~jnp.isnan(dx), dx, 1.0)
-    intersect_x = (delta_y1 * x0 - delta_y0 * x1) / dy
-    intersect_y = ((intersect_x - x0) / dx) * (a1 - a0) + a0
+    # Gaps touching a NaN level (pad/poisoned data) must emit NaN crossings,
+    # but the arithmetic below must never SEE those NaNs: a product/quotient
+    # with a NaN forward value leaks NaN into reverse-mode cotangents even
+    # when its own cotangent is zero (the where-NaN gradient trap).  So
+    # compute on safe finite dummies and re-impose the NaN pattern after.
+    finite = (crossing & ~jnp.isnan(delta_y0) & ~jnp.isnan(delta_y1) &
+              ~jnp.isnan(x0) & ~jnp.isnan(x1))
+    d0 = jnp.where(finite, delta_y0, 0.0)
+    d1 = jnp.where(finite, delta_y1, 1.0)
+    xs0 = jnp.where(finite, x0, 0.0)
+    xs1 = jnp.where(finite, x1, 1.0)
+    as0 = jnp.where(finite & ~jnp.isnan(a0), a0, 0.0)
+    as1 = jnp.where(finite & ~jnp.isnan(a1), a1, 0.0)
+    # Guarded denominators (0/0 in exact-touch gaps is the same trap).
+    dy = d1 - d0
+    dy = jnp.where(finite & (dy != 0), dy, 1.0)
+    dx = xs1 - xs0
+    dx = jnp.where(finite & (dx != 0), dx, 1.0)
+    intersect_x = (d1 * xs0 - d0 * xs1) / dy
+    intersect_y = ((intersect_x - xs0) / dx) * (as1 - as0) + as0
     # Duplicate-coordinate gaps keep the unguarded algebra's NaN y.
     intersect_y = jnp.where(x1 != x0, intersect_y, jnp.nan)
 
     nan = jnp.nan
-    intersect_x = jnp.where(crossing, intersect_x, nan)
-    intersect_y = jnp.where(crossing, intersect_y, nan)
+    intersect_x = jnp.where(finite, intersect_x, nan)
+    intersect_y = jnp.where(finite & ~jnp.isnan(a0) & ~jnp.isnan(a1),
+                            intersect_y, nan)
 
     if log_x and not log_outputs:
-        out_x = jnp.exp(intersect_x)
+        out_x = safe_exp(intersect_x)
     else:
         out_x = intersect_x
 

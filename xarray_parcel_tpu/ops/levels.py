@@ -25,7 +25,7 @@ def _broadcast_fields(fields, coord='pressure'):
     return {k: jnp.broadcast_to(v, shape) for k, v in fields.items()}
 
 
-def insert_level(fields, level, coord='pressure'):
+def insert_level(fields, level, coord='pressure', lead=None):
     """Insert a per-column level into pressure-sorted profiles.
 
     ``fields``: dict of (…, L) arrays including ``coord``; ``level``: dict of
@@ -40,6 +40,12 @@ def insert_level(fields, level, coord='pressure'):
         and all their variables come out NaN;
       * a NaN insertion coord floods the whole column with the level's values
         (all-NaN in practice).
+
+    Columns may carry *leading* NaNs (a masked sub-parcel prefix, as produced
+    by the parcel-subsetting wrappers): the insertion slot is offset past
+    them, so the spliced column keeps its NaN prefix and stays sorted.
+    ``lead`` optionally supplies that per-column leading-NaN count (argmax
+    does not lower inside Pallas kernels; the fused path precomputes it).
     """
     fields = _broadcast_fields({k: fields[k] for k in level}, coord)
     p = fields[coord]
@@ -47,7 +53,11 @@ def insert_level(fields, level, coord='pressure'):
     L = p.shape[-1]
 
     p_filled = jnp.where(jnp.isnan(p), -jnp.inf, p)
-    idx = jnp.sum(p_filled >= pl[..., None], axis=-1)          # (…,) in [0, L]
+    if lead is None:
+        lead = jnp.argmax(~jnp.isnan(p), axis=-1)   # 0 if no/only leading NaN
+    lead = jnp.broadcast_to(jnp.asarray(lead).astype(jnp.int32),
+                            p.shape[:-1])
+    idx = lead + jnp.sum(p_filled >= pl[..., None], axis=-1)   # (…,) in [0, L]
 
     j = jnp.arange(L + 1)
     below = j < idx[..., None]                                  # (…, L+1)

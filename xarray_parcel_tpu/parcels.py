@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from . import thermo
 from .cape import cape_cin
-from .ops import compact_left, get_layer, nanmax, nanmin, trapz
+from .ops import get_layer, insert_level, nanmax, nanmin, trapz
 
 
 def mixed_layer(fields, depth=100.0):
@@ -61,34 +61,41 @@ def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
 
 
 def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
-    """Subset columns to levels at/above the most unstable parcel, compacted
-    left (reference: modules/parcel_functions.py:1517-1555).
+    """Subset columns to levels at/above the most unstable parcel
+    (reference: modules/parcel_functions.py:1517-1555).
 
-    Returns (fields dict with (…, L) NaN-padded columns, parcel dict).
+    Returns (fields dict with (…, L) NaN-masked columns, parcel dict).
+    The reference left-shifts the subset so the parcel sits at index 0; here
+    the sub-parcel prefix simply stays NaN — every downstream op (splice,
+    crossing set, LFC/EL first-level rules, integration) is first-valid-
+    index aware, and skipping the per-column shift network saves ~40
+    full-field passes per solve.
     """
     parcel = most_unstable_parcel(pressure, temperature, dewpoint,
                                   depth=depth)
     keep = pressure <= parcel['pressure'][..., None]
-    fields = {
+    return {
         'pressure': jnp.where(keep, pressure, jnp.nan),
         'temperature': jnp.where(keep, temperature, jnp.nan),
         'dewpoint': jnp.where(keep, dewpoint, jnp.nan),
-    }
-    return compact_left(fields, 'pressure'), parcel
+    }, parcel
 
 
 def mix_layer(pressure, temperature, dewpoint, depth=100.0):
     """Replace the lowest ``depth`` hPa with the fully-mixed parcel as the
     new bottom level (reference: modules/parcel_functions.py:1604-1649).
 
-    Returns (fields dict with (…, L) columns — parcel at level 0, remaining
-    levels compacted, NaN padding above — and the mixed parcel dict).
+    Returns (fields dict with (…, L+1) columns — a NaN prefix over the
+    mixed-away levels, then the parcel, then the kept levels — and the mixed
+    parcel dict).  The reference compacts the kept levels down to index 0;
+    here the parcel is spliced in place via the leading-NaN-aware
+    ``insert_level`` (one splice instead of a per-column shift network).
     """
     pressure = jnp.asarray(pressure)
     mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth)
 
     keep = pressure < (nanmax(pressure) - depth)[..., None]
-    kept = compact_left({
+    masked = {
         'pressure': jnp.where(keep, pressure, jnp.nan),
         'temperature': jnp.where(keep, jnp.broadcast_to(temperature,
                                                         pressure.shape),
@@ -96,15 +103,8 @@ def mix_layer(pressure, temperature, dewpoint, depth=100.0):
         'dewpoint': jnp.where(keep, jnp.broadcast_to(dewpoint,
                                                      pressure.shape),
                               jnp.nan),
-    }, 'pressure')
-
-    out = {}
-    for k in ('pressure', 'temperature', 'dewpoint'):
-        out[k] = jnp.concatenate(
-            [jnp.broadcast_to(mp[k][..., None],
-                              kept[k].shape[:-1] + (1,)),
-             kept[k][..., :-1]], axis=-1)
-    return out, mp
+    }
+    return insert_level(masked, mp), mp
 
 
 def most_unstable_cape_cin(pressure, temperature, dewpoint, depth=300.0,

@@ -101,13 +101,17 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
 
 
 def conv_properties_fused(dat, ignore_nans=False, tables=None,
-                          with_attrs=False):
+                          with_attrs=False, in_kernel_li=True):
     """``conv_properties`` on the fused-Pallas production path.
 
     Same variables, same semantics (the kernels reuse the same column
     program); the three CAPE/CIN solves and their lifted indices run inside
     fused kernels instead of materialising profiles — the deployment path
     for dense grids.
+
+    ``in_kernel_li``: compute the lifted index inside the kernel (shared
+    interpolation anchors, no profile materialisation); off, profile tracks
+    come out of the kernel and the LI interpolates them in XLA.
     """
     from . import fused as _fused
     from .parcels import from_most_unstable_parcel, mix_layer
@@ -121,17 +125,16 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
               jnp.isnan(t).any(-1) | jnp.isnan(q).any(-1))
 
     def solve(fields, parcel):
-        # Profile tracks come OUT of the kernel (cheap HBM writes) and the
-        # lifted index interpolates them in XLA — measured faster than the
-        # in-kernel lifted-index variant.
         res, _ = _fused.fused_cape_cin(
             fields['pressure'], fields['temperature'], fields['dewpoint'],
             parcel_pressure=parcel['pressure'],
             parcel_temperature=parcel['temperature'],
             parcel_dewpoint=parcel['dewpoint'],
-            tables=tables, with_profile=True)
-        res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
-            'lifted_index']
+            tables=tables, with_lifted_index=in_kernel_li,
+            with_profile=not in_kernel_li)
+        if not in_kernel_li:
+            res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
+                'lifted_index']
         return res
 
     mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew, depth=250.0)

@@ -39,20 +39,34 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     out.update(lcl(parcel_pressure, parcel_temperature, parcel_dewpoint))
     lcl_p = out['lcl_pressure']
 
-    below_lcl = thermo.dry_lapse(pressure, parcel_temperature[..., None],
+    # NaN levels (pads / masked sub-parcel prefixes / poisoned data) must
+    # yield NaN outputs but never ENTER the arithmetic: exp/log/power/multiply
+    # leak NaN into reverse-mode cotangents even when masked downstream (the
+    # where-NaN gradient trap), so compute on safe finite dummies and apply
+    # the NaN pattern at the end.
+    validp = ~jnp.isnan(pressure)
+    safe_p = jnp.where(validp, pressure, 500.0)
+
+    below_lcl = thermo.dry_lapse(safe_p, parcel_temperature[..., None],
                                  parcel_pressure[..., None])
-    above_lcl = ml(pressure, out['lcl_temperature'], lcl_p, tables=tables)
+    above_lcl = ml(safe_p, out['lcl_temperature'], lcl_p, tables=tables)
+    above_lcl = jnp.where(validp, above_lcl, jnp.nan)
+
+    lcl_pb = lcl_p[..., None]
+    temp = jnp.where(pressure >= lcl_pb, below_lcl, above_lcl)
+    temp = jnp.where(validp, temp, jnp.nan)
+    out['temperature'] = temp
 
     # Mixing ratio: parcel's (constant) below the LCL, saturated above.
     parcel_w = thermo.mixing_ratio(parcel_temperature, parcel_dewpoint,
                                    parcel_pressure)
-    sat_w = thermo.saturation_mixing_ratio(pressure, above_lcl)
+    validt = ~jnp.isnan(temp)
+    safe_t = jnp.where(validt, temp, 273.15)
+    sat_w = thermo.saturation_mixing_ratio(safe_p, safe_t)
 
-    lcl_pb = lcl_p[..., None]
-    out['temperature'] = jnp.where(pressure >= lcl_pb, below_lcl, above_lcl)
     w = jnp.where(pressure <= lcl_pb, sat_w, parcel_w[..., None])
-    out['virtual_temperature'] = thermo.virtual_temperature(
-        out['temperature'], w)
+    vt = thermo.virtual_temperature(safe_t, w)
+    out['virtual_temperature'] = jnp.where(validt, vt, jnp.nan)
     return out
 
 
@@ -110,10 +124,20 @@ def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
                              parcel_dewpoint, tables=tables,
                              moist_lapse=moist_lapse)
 
-    mix = thermo.mixing_ratio(temperature, dewpoint, pressure)
+    # Safe dummies at NaN levels; NaN pattern re-imposed after (see
+    # parcel_profile — the where-NaN gradient trap).
+    valid = ~(jnp.isnan(temperature) | jnp.isnan(dewpoint) |
+              jnp.isnan(pressure))
+    safe_t = jnp.where(valid, temperature, 273.15)
+    safe_td = jnp.where(valid, dewpoint, 263.15)
+    safe_p = jnp.where(valid, pressure, 500.0)
+    mix = thermo.mixing_ratio(safe_t, safe_td, safe_p)
+    env_vt = jnp.where(valid, thermo.virtual_temperature(safe_t, mix),
+                       jnp.nan)
     environment = {
         'temperature': jnp.broadcast_to(temperature, profile['pressure'].shape),
-        'virtual_temperature': thermo.virtual_temperature(temperature, mix),
+        'virtual_temperature': jnp.broadcast_to(env_vt,
+                                                profile['pressure'].shape),
         'dewpoint': jnp.broadcast_to(dewpoint, profile['pressure'].shape),
         'pressure': profile['pressure'],
     }
