@@ -146,23 +146,32 @@ def main():
     log('tables loaded + device_put')
 
     # --- full pipeline (the reference's headline benchmark) ---
-    # (the modular XLA pipeline beats the fused-kernel variant here — the
-    # three solves' column prep dominates; see conv_properties_fused.
-    # 2^19 columns: large enough that the tunnel's ~35 ms dispatch floor is
-    # <15% of an iteration; 2^20 sends XLA's scheduler into a minutes-long
-    # memory-pressure compile on this 16 GB chip.)
+    # Headline arm: the fused-Pallas production pipeline (three CAPE solves
+    # + lifted indices inside kernels, shared interpolation anchors); the
+    # modular XLA pipeline is timed alongside.  2^19 columns: large enough
+    # that the tunnel's ~35 ms dispatch floor is <15% of an iteration; 2^20
+    # sends XLA's scheduler into a minutes-long memory-pressure compile on
+    # this 16 GB chip.
     B_pipe = 1 << 19
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
     @jax.jit
     def pipe(dat):
-        return pipeline.conv_properties(dat, tables=tables)
+        return pipeline.conv_properties_fused(dat, tables=tables)
 
     sec = time_fn(pipe, dat)
     pipe_rate = B_pipe / sec
     pipe_rate_net = B_pipe / max(sec - dispatch_floor, 1e-6)
-    log(f'pipeline: {sec:.3f}s/iter at B={B_pipe} '
+    log(f'pipeline (fused): {sec:.3f}s/iter at B={B_pipe} '
         f'({pipe_rate:.3g} cols/sec, {pipe_rate_net:.3g} net of dispatch)')
+
+    @jax.jit
+    def pipe_mod(dat):
+        return pipeline.conv_properties(dat, tables=tables)
+
+    sec_mod = time_fn(pipe_mod, dat)
+    log(f'pipeline (modular xla): {sec_mod:.3f}s/iter '
+        f'({B_pipe / sec_mod:.3g} cols/sec)')
 
     # --- surface-based CAPE/CIN only (the north-star metric) ---
     B_cape = 1 << 20
@@ -227,6 +236,8 @@ def main():
             'cape_cols_per_sec_net_of_dispatch': round(
                 B_cape / max(sec_cape - dispatch_floor, 1e-6), 1),
             'pipeline_cols_per_sec_net_of_dispatch': round(pipe_rate_net, 1),
+            'pipeline_modular_xla_columns_per_sec': round(B_pipe / sec_mod,
+                                                          1),
             'surface_cape_cin_sharded_columns_per_sec': round(
                 B_cape / sec_sharded, 1),
             'pipeline_batch': B_pipe,

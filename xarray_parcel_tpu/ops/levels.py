@@ -15,7 +15,7 @@ sort coordinate (strictly decreasing with level, NaNs trailing).
 
 import jax.numpy as jnp
 
-from .interp import log_interp
+from .interp import interp_many
 from .reduce import nanmax, nanmin
 
 
@@ -138,7 +138,9 @@ def get_layer(fields, depth=100.0, interpolate=True, coord='pressure'):
 
     if interpolate:
         top = bottom - depth
-        level = {k: log_interp(v, p, top) for k, v in fields.items()}
+        # One shared anchor computation for every field (the anchor search
+        # is ~8 masked reductions and dominates an interpolation's cost).
+        level = interp_many(fields, p, top, log=True)
         level[coord] = top
         fields = insert_level(fields, level, coord=coord)
     else:
