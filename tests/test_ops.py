@@ -209,3 +209,57 @@ def test_api_dry_lapse_nan_padded_column():
     out = np.asarray(api.dry_lapse(p, 300.0))
     assert not np.isnan(out[:3]).any() and np.isnan(out[3])
     assert abs(out[0] - 300.0) < 1e-6
+
+
+def test_insert_level_leading_nans():
+    # Masked sub-parcel prefix: the splice offsets past leading NaNs so the
+    # column stays sorted (parcels.py's uncompacted subset columns).
+    fields = {
+        'pressure': jnp.array([jnp.nan, jnp.nan, 900.0, 800.0, 700.0]),
+        'temperature': jnp.array([jnp.nan, jnp.nan, 2.0, 3.0, 4.0]),
+    }
+    res = ops.insert_level(fields, {'pressure': 850.0, 'temperature': 9.0})
+    assert_array_almost_equal(
+        np.asarray(res['pressure']),
+        [np.nan, np.nan, 900.0, 850.0, 800.0, 700.0])
+    assert_array_almost_equal(
+        np.asarray(res['temperature']),
+        [np.nan, np.nan, 2.0, 9.0, 3.0, 4.0])
+    # Insertion below every kept level lands right after the NaN prefix.
+    res2 = ops.insert_level(fields, {'pressure': 950.0, 'temperature': 8.0})
+    assert_array_almost_equal(
+        np.asarray(res2['pressure']),
+        [np.nan, np.nan, 950.0, 900.0, 800.0, 700.0])
+
+
+def test_masked_prefix_solve_equals_compacted():
+    # The uncompacted (leading-NaN) parcel subset must solve identically to
+    # the reference-style left-compacted form: first-valid-index semantics
+    # in lfc_el/insert_level replace the per-column shift network.
+    from xarray_parcel_tpu import adiabat, cape
+    tables = adiabat.load_moist_adiabat_lookups()
+    levels = jnp.array([959., 931.3, 779.2, 751.3, 724.3, 700., 269.])
+    temps = jnp.array([22.2, 20.9, 14.6, 12., 9.4, 7., -38.]) + 273.15
+    dews = jnp.array([19., 18.1, -11.2, -10.8, -10.4, -10., -53.2]) + 273.15
+
+    # Parcel launched from level 2; mask out the two levels below it.
+    keep = jnp.arange(levels.shape[0]) >= 2
+    masked = {k: jnp.where(keep, v, jnp.nan)
+              for k, v in (('pressure', levels), ('temperature', temps),
+                           ('dewpoint', dews))}
+    compacted = ops.compact_left(masked, 'pressure')
+
+    kwargs = dict(parcel_pressure=levels[2], parcel_temperature=temps[2],
+                  parcel_dewpoint=dews[2], tables=tables)
+    res_m, sol_m = cape.cape_cin(masked['pressure'], masked['temperature'],
+                                 masked['dewpoint'], **kwargs)
+    res_c, sol_c = cape.cape_cin(compacted['pressure'],
+                                 compacted['temperature'],
+                                 compacted['dewpoint'], **kwargs)
+    for k in ('cape', 'cin'):
+        assert_array_almost_equal(np.asarray(res_m[k]), np.asarray(res_c[k]),
+                                  6)
+    for k in ('lfc_pressure', 'el_pressure', 'lfc_temperature',
+              'el_temperature'):
+        assert_array_almost_equal(np.asarray(sol_m[k]), np.asarray(sol_c[k]),
+                                  6)

@@ -230,10 +230,11 @@ def build_spectral(dtype=jnp.float32, n_coef=N_COEF, n_substeps=64):
     return coeffs.T.astype(dtype)                   # (N_CURVES, n_coef)
 
 
-def _eval_spectral(coeffs, pressure):
+def _eval_spectral(coeffs, pressure, log_pressure=None):
     """Clenshaw evaluation of per-column Chebyshev coefficients (…, K) at
-    per-level pressures (…, L) — pure VPU arithmetic, fuses under XLA."""
-    lnp = jnp.log(pressure)
+    per-level pressures (…, L) — pure VPU arithmetic, fuses under XLA.
+    ``log_pressure``: optional precomputed ``log(pressure)``."""
+    lnp = log_pressure if log_pressure is not None else jnp.log(pressure)
     u = (2.0 * lnp - (_LNP_HI + _LNP_LO)) / (_LNP_HI - _LNP_LO)
     u = jnp.clip(u, -1.0, 1.0)
     K = coeffs.shape[-1]

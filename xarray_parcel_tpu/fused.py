@@ -32,7 +32,9 @@ from . import adiabat, thermo
 from .adiabat import N_CURVES, P_BOT, P_TOP, _eval_spectral
 from .cape import cape_cin_base, lfc_el
 from .lcl import lcl
-from .ops import insert_level, interp_many, log_interp
+import math
+
+from .ops import find_intersections, insert_level, interp_many, safe_log
 
 
 def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
@@ -51,8 +53,6 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     With ``with_lifted_index`` also returns the Galway lifted index from the
     real-temperature tracks (reference: :1722-1756).
     """
-    from .ops import safe_log
-
     lcl_pb = lcl_p[..., None]
 
     # NaN levels (padded columns / masked sub-parcel prefixes / poisoned
@@ -62,10 +62,12 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     # computed on safe finite dummies with the NaN pattern applied after.
     validp = ~jnp.isnan(p)
     safe_p = jnp.where(validp, p, P_TOP)
+    lp = safe_log(p)
+    safe_lp = jnp.where(validp, lp, math.log(P_TOP))
 
     # Parcel temperature track: dry below the LCL, spectral moist above.
     dry = thermo.dry_lapse(safe_p, t0[..., None], p0[..., None])
-    moist = _eval_spectral(row, safe_p)
+    moist = _eval_spectral(row, safe_p, log_pressure=safe_lp)
     moist = jnp.where((p >= P_BOT) & (p <= P_TOP), moist, jnp.nan)
     temp = jnp.where(p >= lcl_pb, dry, moist)
     temp = jnp.where(validp, temp, jnp.nan)
@@ -87,10 +89,9 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
                                                        safe_p)),
         jnp.nan)
 
-    # ln(p) computed ONCE; the spliced column's log-pressure comes from the
-    # same insert_level shifts (no second transcendental), and the crossing
-    # set stays in log space end to end.
-    lp = safe_log(p)
+    # ln(p) computed ONCE (above); the spliced column's log-pressure comes
+    # from the same insert_level shifts (no second transcendental), and the
+    # crossing set stays in log space end to end.
     llcl = safe_log(lcl_p)
 
     # Environment interpolated at the LCL; env virtual T recomputed there
@@ -120,7 +121,6 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     ins = insert_level(fields, level, lead=k0)
     ins_lp = ins['log_pressure']
 
-    from .ops import find_intersections
     ints = find_intersections(ins['pressure'], ins['parcel'], ins['env'],
                               log_x=True, log_x_values=ins_lp,
                               log_outputs=True)

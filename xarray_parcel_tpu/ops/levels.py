@@ -55,8 +55,7 @@ def insert_level(fields, level, coord='pressure', lead=None):
     p_filled = jnp.where(jnp.isnan(p), -jnp.inf, p)
     if lead is None:
         lead = jnp.argmax(~jnp.isnan(p), axis=-1)   # 0 if no/only leading NaN
-    lead = jnp.broadcast_to(jnp.asarray(lead).astype(jnp.int32),
-                            p.shape[:-1])
+    lead = jnp.asarray(lead).astype(jnp.int32)
     idx = lead + jnp.sum(p_filled >= pl[..., None], axis=-1)   # (…,) in [0, L]
 
     j = jnp.arange(L + 1)

@@ -251,13 +251,10 @@ def valid_data(dat, vert_dim=DEFAULT_VERT_DIM, strict=True):
     decreasing with level; reference: modules/parcel_functions.py:2308-2321)
     on a Dataset via the native ingest runtime.  Returns the per-column
     validity mask; with ``strict`` raises if any column is invalid."""
+    from . import api as _api
     batch_dims = _batch_dims_of([dat['pressure']], vert_dim)
     p = _lower(dat['pressure'], vert_dim, batch_dims)
-    ok = native.validate_columns(np.asarray(p))
-    if strict:
-        assert np.all(ok), \
-            'Pressures must decrease with increasing level number.'
-    return ok
+    return _api.valid_data({'pressure': np.asarray(p)}, strict=strict)
 
 
 # ---------------------------------------------------------------------------
@@ -365,14 +362,10 @@ def _cape_variant(core, res_extras):
     return wrapper
 
 
-def _sb_core(pressure, temperature, dewpoint, tables=None, **kwargs):
-    return _cape.surface_based_cape_cin(pressure, temperature, dewpoint,
-                                        tables=tables, **kwargs)
-
-
 surface_based_cape_cin = _cape_variant(
-    _sb_core, lambda kw: {'cape': 'CAPE for surface-based parcel.',
-                          'cin': 'CIN for surface-based parcel.'})
+    _cape.surface_based_cape_cin,
+    lambda kw: {'cape': 'CAPE for surface-based parcel.',
+                'cin': 'CIN for surface-based parcel.'})
 surface_based_cape_cin.__doc__ = (
     'Surface-based CAPE and CIN; returns (Dataset, profile Dataset) '
     '(reference: modules/parcel_functions.py:1477-1514).')
@@ -440,12 +433,10 @@ def lifted_index(profile, vert_dim=DEFAULT_VERT_DIM, description=None,
     batch_dims = tuple(d for d in profile['pressure'].dims if d != vert_dim)
     fields = {k: _lower(profile[k], vert_dim, batch_dims)
               for k in ('pressure', 'temperature', 'environment_temperature')}
-    out = _jitted(_diag.lifted_index)(fields)
-    desc = {'lifted_index': description} if description else None
-    out = _rename(out, prefix, ('lifted_index',))
+    out = _rename(_jitted(_diag.lifted_index)(fields), prefix,
+                  ('lifted_index',))
     key = f'{prefix}_lifted_index' if prefix else 'lifted_index'
-    if desc:
-        desc = {key: description}
+    desc = {key: description} if description else None
     coords = _coords_of([profile[k] for k in profile.data_vars], batch_dims)
     return _lift(out, batch_dims, coords=coords, descriptions=desc)
 
