@@ -98,3 +98,34 @@ def test_grad_through_fused_kernel(tables, sounding):
     fd = (cape_of(temps[0] + eps) - cape_of(temps[0] - eps)) / (2 * eps)
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
+def test_grad_through_full_pipeline(tables, sounding):
+    # dOutput/dInput through the entire ~20-variable pipeline (every solve,
+    # diagnostic and the NaN-masking) stays finite and matches finite
+    # differences — the reference (xarray+dask+scipy) cannot do this at all.
+    from xarray_parcel_tpu import pipeline, thermo
+    levels, temps, dews = sounding
+    q = thermo.specific_humidity_from_dewpoint(levels, dews)
+    h = 44330.0 * (1.0 - (levels / 1013.25) ** 0.19)
+    base = {
+        'pressure': levels[None], 'temperature': temps[None],
+        'specific_humidity': q[None], 'height_asl': h[None],
+        'surface_wind_u': jnp.array([3.0]),
+        'surface_wind_v': jnp.array([0.0]),
+        'wind_u': jnp.full((1, levels.shape[0]), 8.0),
+        'wind_v': jnp.full((1, levels.shape[0]), 2.0),
+        'wind_height_above_surface': (h - h[0])[None],
+    }
+
+    def mu_cape_of(t1):
+        dat = dict(base)
+        dat['temperature'] = temps.at[1].set(t1)[None]
+        out = pipeline.conv_properties(dat, tables=tables)
+        return out['mu_cape'][0]
+
+    g = jax.grad(mu_cape_of)(temps[1])
+    eps = 1e-4
+    fd = (mu_cape_of(temps[1] + eps) - mu_cape_of(temps[1] - eps)) / (2 * eps)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)

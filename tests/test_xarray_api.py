@@ -247,3 +247,14 @@ def test_valid_data_dataset(dat):
         xarray_api.valid_data(bad)
     mask = xarray_api.valid_data(bad, strict=False)
     assert mask.sum() == mask.size - 1
+
+
+def test_conv_properties_streamed(dat):
+    # Out-of-core streaming (the dask-chunking analogue) must match the
+    # direct whole-grid run exactly.
+    direct = xarray_api.conv_properties(dat)
+    streamed = xarray_api.conv_properties(dat, stream_columns=5)
+    np.testing.assert_allclose(np.asarray(streamed.mu_cape),
+                               np.asarray(direct.mu_cape), atol=1e-5,
+                               rtol=1e-6)
+    assert streamed.mu_cape.dims == direct.mu_cape.dims

@@ -24,7 +24,7 @@ def _batch_shape(dat, level_vars):
 
 def stream_map(fn, dat, batch_columns=1 << 16,
                level_vars=('pressure', 'temperature', 'dewpoint',
-                           'specific_humidity')):
+                           'specific_humidity'), jit=True):
     """Run ``fn`` (a dict->dict column program, e.g.
     ``pipeline.conv_properties``) over ``dat`` in column chunks.
 
@@ -32,6 +32,8 @@ def stream_map(fn, dat, batch_columns=1 << 16,
     (…) surface fields).  Returns a dict of host numpy arrays with the full
     batch shape.  ``fn`` is jitted once; chunks are NaN-padded to one static
     shape, and transfers overlap compute through async dispatch.
+    ``jit=False`` when ``fn`` already wraps a jitted callable (avoids
+    re-tracing a fresh outer jit per stream_map call).
     """
     batch = _batch_shape(dat, level_vars)
     B = int(np.prod(batch)) if batch else 1
@@ -42,7 +44,7 @@ def stream_map(fn, dat, batch_columns=1 << 16,
         trail = v.shape[len(batch):]
         flat[k] = v.reshape((B,) + trail)
 
-    jfn = jax.jit(fn)
+    jfn = jax.jit(fn) if jit else fn
     n_chunk = max(1, min(batch_columns, B))
     results = []
     pending = []                      # (slice_len, device outputs)

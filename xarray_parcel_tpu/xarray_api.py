@@ -222,11 +222,20 @@ def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
 def _dataset_pipeline(fn):
     @functools.wraps(fn)
     def wrapper(dat, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None,
-                **kwargs):
-        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=mesh)
+                stream_columns=None, **kwargs):
+        """``stream_columns``: process the grid out-of-core in chunks of
+        that many columns (the dask-chunking analogue; one compile, chunk
+        transfers overlap compute — see ``parallel.stream_map``)."""
+        fields, batch_dims = from_dataset(
+            dat, vert_dim=vert_dim, mesh=None if stream_columns else mesh)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
-        out = run(fields, tables=tables)
+        if stream_columns:
+            from .parallel import stream_map
+            out = stream_map(lambda d: run(d, tables=tables), fields,
+                             batch_columns=stream_columns, jit=False)
+        else:
+            out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
         return to_dataset(out, batch_dims, coords=coords)
     return wrapper
