@@ -26,18 +26,28 @@ def mixed_layer(fields, depth=100.0):
             if k != 'pressure'}
 
 
-def mixed_parcel(pressure, temperature, dewpoint, depth=100.0):
+def conserved_fields(pressure, temperature, dewpoint):
+    """The mixing-conserved per-level fields (theta, mixing ratio) — compute
+    once and share when mixing several depths of the same columns (the
+    pipeline mixes 100 and 50 hPa layers of identical inputs)."""
+    return {'theta': thermo.potential_temperature(pressure, temperature),
+            'mixing_ratio': thermo.saturation_mixing_ratio(pressure,
+                                                           dewpoint)}
+
+
+def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
+                 conserved=None):
     """Fully mix a surface-based layer: conserve theta and mixing ratio,
     return the parcel's pressure/temperature/dewpoint
-    (reference: modules/parcel_functions.py:229-289)."""
+    (reference: modules/parcel_functions.py:229-289).
+    ``conserved``: optional precomputed :func:`conserved_fields`."""
     pressure = jnp.asarray(pressure)
     parcel_start_pressure = pressure[..., 0]
 
-    theta = thermo.potential_temperature(pressure, temperature)
-    mixing_ratio = thermo.saturation_mixing_ratio(pressure, dewpoint)
+    if conserved is None:
+        conserved = conserved_fields(pressure, temperature, dewpoint)
 
-    mixed = mixed_layer({'pressure': pressure, 'theta': theta,
-                         'mixing_ratio': mixing_ratio}, depth=depth)
+    mixed = mixed_layer({'pressure': pressure, **conserved}, depth=depth)
 
     temp = mixed['theta'] * thermo.exner_function(parcel_start_pressure)
     vap = thermo.vapor_pressure(parcel_start_pressure, mixed['mixing_ratio'])
@@ -81,7 +91,7 @@ def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
     }, parcel
 
 
-def mix_layer(pressure, temperature, dewpoint, depth=100.0):
+def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None):
     """Replace the lowest ``depth`` hPa with the fully-mixed parcel as the
     new bottom level (reference: modules/parcel_functions.py:1604-1649).
 
@@ -90,9 +100,11 @@ def mix_layer(pressure, temperature, dewpoint, depth=100.0):
     parcel dict).  The reference compacts the kept levels down to index 0;
     here the parcel is spliced in place via the leading-NaN-aware
     ``insert_level`` (one splice instead of a per-column shift network).
+    ``conserved``: optional precomputed :func:`conserved_fields`.
     """
     pressure = jnp.asarray(pressure)
-    mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth)
+    mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth,
+                      conserved=conserved)
 
     keep = pressure < (nanmax(pressure) - depth)[..., None]
     masked = {
@@ -125,13 +137,14 @@ def most_unstable_cape_cin(pressure, temperature, dewpoint, depth=300.0,
 
 
 def mixed_layer_cape_cin(pressure, temperature, dewpoint, depth=100.0,
-                         **kwargs):
+                         conserved=None, **kwargs):
     """CAPE/CIN for the fully-mixed lowest ``depth`` hPa parcel
     (reference: modules/parcel_functions.py:1651-1697).
 
     Returns (cape_cin dict, profile dict, parcel dict).
     """
-    fields, mp = mix_layer(pressure, temperature, dewpoint, depth=depth)
+    fields, mp = mix_layer(pressure, temperature, dewpoint, depth=depth,
+                           conserved=conserved)
     res, profile = cape_cin(fields['pressure'], fields['temperature'],
                             fields['dewpoint'],
                             parcel_temperature=mp['temperature'],

@@ -48,8 +48,13 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
 
     mu_cc, mu_prof, mu_parcel = most_unstable_cape_cin(
         p, t, dew, depth=250.0, **kw)
-    m100_cc, m100_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=100.0, **kw)
-    m50_cc, m50_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=50.0, **kw)
+    # theta / saturation mixing ratio are shared by the two mixing depths.
+    from .parcels import conserved_fields
+    cons = conserved_fields(p, t, dew)
+    m100_cc, m100_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=100.0,
+                                                 conserved=cons, **kw)
+    m50_cc, m50_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=50.0,
+                                               conserved=cons, **kw)
 
     mu_li = diag.lifted_index(mu_prof)['lifted_index']
     m100_li = diag.lifted_index(m100_prof)['lifted_index']
@@ -139,9 +144,13 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
 
     mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew, depth=250.0)
     mu = solve(mu_fields, mu_parcel)
-    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0)
+    # theta / saturation mixing ratio are shared by the two mixing depths.
+    from .parcels import conserved_fields
+    cons = conserved_fields(p, t, dew)
+    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0,
+                                         conserved=cons)
     m100 = solve(m100_fields, m100_parcel)
-    m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0)
+    m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0, conserved=cons)
     m50 = solve(m50_fields, m50_parcel)
 
     mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
