@@ -22,7 +22,9 @@ REF_PIPELINE_COLS_PER_SEC = 225.0 / 5.17
 
 # Optional arms (XLA cape, sharded cape, modular pipeline) run only while
 # total elapsed time is under this; the required metrics always print.
-OPTIONAL_ARM_DEADLINE_S = 420.0
+# Happy-path total is ~5-6 min (two required compiles over the tunnel);
+# this bounds the damage when the remote compile service stalls.
+OPTIONAL_ARM_DEADLINE_S = 300.0
 
 
 def log(msg):

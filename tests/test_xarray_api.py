@@ -258,3 +258,27 @@ def test_conv_properties_streamed(dat):
                                np.asarray(direct.mu_cape), atol=1e-5,
                                rtol=1e-6)
     assert streamed.mu_cape.dims == direct.mu_cape.dims
+
+
+def test_dataset_sb_jit_cache_reused(dat_dew):
+    # Per-call closures must not defeat the module jit cache (every miss is
+    # a 25-110 s remote compile on the target box).
+    xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=False)
+    n = len(xarray_api._JIT_CACHE)
+    xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=False)
+    assert len(xarray_api._JIT_CACHE) == n
+    xarray_api.melting_level_height(dat_dew['pressure'],
+                                    dat_dew['temperature'],
+                                    dat_dew['dewpoint'],
+                                    dat_dew['height_asl'])
+    n = len(xarray_api._JIT_CACHE)
+    xarray_api.melting_level_height(dat_dew['pressure'],
+                                    dat_dew['temperature'],
+                                    dat_dew['dewpoint'],
+                                    dat_dew['height_asl'])
+    assert len(xarray_api._JIT_CACHE) == n
+
+
+def test_stream_and_mesh_mutually_exclusive(dat):
+    with pytest.raises(ValueError):
+        xarray_api.conv_properties(dat, mesh=object(), stream_columns=4)

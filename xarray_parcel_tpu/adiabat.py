@@ -341,10 +341,16 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
         return _DEFAULT_TABLES
     # Migration/widening: accept any cache whose stored precision covers
     # the request (downcasting is exact; upcasting would fake precision).
-    candidates = [path] if (cache_path or
-                            'XPARCEL_TPU_TABLE_CACHE' in os.environ) else [
-        path, os.path.join(_CACHE_DIR, 'adiabat_tables_f64.npz'),
-        os.path.join(_CACHE_DIR, 'adiabat_tables.npz')]
+    # An explicit path is preferred, but the dtype-keyed default remains a
+    # fallback candidate: an insufficient-precision explicit cache must not
+    # force a rebuild on every call/process (the rebuilt tables live at the
+    # default path, see below).
+    if cache_path or 'XPARCEL_TPU_TABLE_CACHE' in os.environ:
+        candidates = [path, default_path]
+    else:
+        candidates = [
+            path, os.path.join(_CACHE_DIR, 'adiabat_tables_f64.npz'),
+            os.path.join(_CACHE_DIR, 'adiabat_tables.npz')]
     if not regenerate:
         for cand in candidates:
             if os.path.exists(cand) and \
@@ -353,19 +359,23 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
                 _DEFAULT_SOURCE = path
                 return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
+    # The resident-tables key stays the RESOLVED path so the next in-process
+    # call with the same cache settings hits the resident check.
     _DEFAULT_SOURCE = path
+    save_path = path
     explicit = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE')
     if explicit and os.path.exists(path) and not regenerate:
         # A user-supplied cache of insufficient precision is never silently
-        # overwritten; the rebuilt tables go to the dtype-keyed default path.
+        # overwritten; the rebuilt tables go to the dtype-keyed default path
+        # (which is also a load candidate above, so later processes with the
+        # same explicit cache load it instead of rebuilding).
         warnings.warn(
             f'table cache {path!r} holds {_stored_dtype(path)} but '
             f'{desired} was requested; rebuilt tables cached at '
             f'{default_path!r} instead (pass regenerate=True to overwrite)')
-        path = default_path
-        _DEFAULT_SOURCE = path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    _DEFAULT_TABLES.save(path)
+        save_path = default_path
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    _DEFAULT_TABLES.save(save_path)
     return _DEFAULT_TABLES
 
 

@@ -178,12 +178,14 @@ def _rename(ds_dict, prefix, keys):
 
 
 def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
-    """Lower a Dataset to a dict of jax arrays (vertical dim trailing).
+    """Lower a Dataset to a dict of arrays (vertical dim trailing).
 
     Returns ``(fields, batch_dims)`` where ``batch_dims`` is the ordered
     tuple of non-vertical dims (used by :func:`to_dataset` to lift results
-    back).  With ``mesh`` the leading batch dim is sharded over it
-    (the TPU analogue of the reference's dask chunking,
+    back).  Without ``mesh`` the fields are host (numpy) arrays — jit moves
+    them to device on first use, avoiding a double placement; with ``mesh``
+    they are ``jax.Array``s sharded over its leading axis (the TPU analogue
+    of the reference's dask chunking,
     reference: modules/parcel_functions.py:561-592).
     """
     names = variables or [v for v in _LEVEL_VARS if v in dat] + \
@@ -226,8 +228,12 @@ def _dataset_pipeline(fn):
         """``stream_columns``: process the grid out-of-core in chunks of
         that many columns (the dask-chunking analogue; one compile, chunk
         transfers overlap compute — see ``parallel.stream_map``)."""
-        fields, batch_dims = from_dataset(
-            dat, vert_dim=vert_dim, mesh=None if stream_columns else mesh)
+        if stream_columns and mesh is not None:
+            raise ValueError(
+                'stream_columns and mesh are mutually exclusive: streaming '
+                'runs chunks on the default device (shard each chunk '
+                'yourself via parallel.stream_map if both are needed)')
+        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=mesh)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
@@ -403,6 +409,17 @@ mixed_layer_cape_cin.__doc__ = (
     'Dataset) (reference: modules/parcel_functions.py:1651-1697).')
 
 
+def _fused_sb_core(p, t, td, tables=None, **kw):
+    from .fused import fused_surface_cape_cin
+    res, sol = fused_surface_cape_cin(p, t, td, tables=tables, **kw)
+    return dict(res, **sol)
+
+
+def _xla_sb_core(p, t, td, tables=None, **kw):
+    res, _ = _cape.surface_based_cape_cin(p, t, td, tables=tables, **kw)
+    return res
+
+
 def surface_based_cape_cin_dataset(dat, vert_dim=DEFAULT_VERT_DIM,
                                    tables=None, fused=True, **kwargs):
     """Surface-based CAPE/CIN from a Dataset with pressure / temperature /
@@ -412,25 +429,12 @@ def surface_based_cape_cin_dataset(dat, vert_dim=DEFAULT_VERT_DIM,
         dat, vert_dim=vert_dim,
         variables=['pressure', 'temperature', 'dewpoint'])
     tables = _resolve_tables(tables)
-    if fused:
-        from .fused import fused_surface_cape_cin
-
-        def _run(p, t, td, tables=None, **kw):
-            res, sol = fused_surface_cape_cin(p, t, td, tables=tables, **kw)
-            return dict(res, **sol)
-
-        res = _jitted(_run, sorted(kwargs.items()))(
-            fields['pressure'], fields['temperature'], fields['dewpoint'],
-            tables=tables)
-    else:
-        def _run(p, t, td, tables=None, **kw):
-            res, _ = _cape.surface_based_cape_cin(p, t, td, tables=tables,
-                                                  **kw)
-            return res
-
-        res = _jitted(_run, sorted(kwargs.items()))(
-            fields['pressure'], fields['temperature'], fields['dewpoint'],
-            tables=tables)
+    # Module-level cores: the jit cache is keyed on the function object, so
+    # per-call closures would retrace (25-110 s compiles) on every call.
+    core = _fused_sb_core if fused else _xla_sb_core
+    res = _jitted(core, sorted(kwargs.items()))(
+        fields['pressure'], fields['temperature'], fields['dewpoint'],
+        tables=tables)
     coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
     return to_dataset(res, batch_dims, coords=coords)
 
@@ -529,6 +533,12 @@ def freezing_level_height(temperature, height, vert_dim=DEFAULT_VERT_DIM):
                     name='freezing_level')
 
 
+def _mlh_core(p, t, td, h, tables=None, fast=True):
+    mlh, _ = _diag.melting_level_height(p, t, td, h, fast=fast,
+                                        tables=tables)
+    return mlh
+
+
 def melting_level_height(pressure, temperature, dewpoint, height, fast=True,
                          vert_dim=DEFAULT_VERT_DIM, tables=None):
     """Height of the 0 C wet-bulb isotherm
@@ -536,13 +546,7 @@ def melting_level_height(pressure, temperature, dewpoint, height, fast=True,
     args = (pressure, temperature, dewpoint, height)
     batch_dims = _batch_dims_of(args, vert_dim)
     low = [_lower(a, vert_dim, batch_dims) for a in args]
-
-    def _run(p, t, td, h, tables=None, fast=True):
-        mlh, _ = _diag.melting_level_height(p, t, td, h, fast=fast,
-                                            tables=tables)
-        return mlh
-
-    run = _jitted(_run, (('fast', bool(fast)),))
+    run = _jitted(_mlh_core, (('fast', bool(fast)),))
     return _lift_da(run(*low, tables=_resolve_tables(tables)), batch_dims,
                     coords=_coords_of(args, batch_dims),
                     name='melting_level')

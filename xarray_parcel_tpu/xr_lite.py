@@ -118,6 +118,11 @@ class Dataset:
         return iter(self.data_vars)
 
     def __getattr__(self, name):
+        # Guard the attributes __getattr__ itself reads: during unpickling /
+        # copy the instance dict is empty and an unguarded lookup would
+        # recurse forever.
+        if name in ('data_vars', 'coords'):
+            raise AttributeError(name)
         try:
             return self.data_vars[name]
         except KeyError:
