@@ -248,6 +248,7 @@ def _dataset_pipeline(fn):
 
 
 conv_properties = _dataset_pipeline(_pipeline.conv_properties)
+conv_properties_fused = _dataset_pipeline(_pipeline.conv_properties_fused)
 min_conv_properties = _dataset_pipeline(_pipeline.min_conv_properties)
 
 
