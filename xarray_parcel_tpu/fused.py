@@ -154,6 +154,18 @@ def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
         ref[:] = val
 
 
+# NOTE (measured, round 2): a column-on-lanes layout — blocks (L, TB)
+# instead of (TB, L) — is ~1.7x faster on this kernel's op mix (L=91 on
+# the lane axis pads every vector op to 128 lanes, ~29% waste; a (256, 91)
+# block spans 32 (8, 128) tiles vs 24 transposed).  Wrapping the column
+# program in jax.vmap over the lane axis does NOT work: vmap's batching
+# inserts axis moves whose select/bool lowerings crash this Mosaic version
+# (any vmapped select does, even same-shape lax.select; unbatched selects
+# in the same layout compile fine), and the moves would re-materialise the
+# rows layout anyway.  Capturing the win needs the column ops written
+# axis-generally (level axis = 0) — a candidate for a future round.
+
+
 def _column_outputs(p, t, td, row, scalars, with_lifted_index, with_profile,
                     kwargs):
     """The kernel's output tuple computed by the SAME column program on
