@@ -6,8 +6,13 @@ adiabat tables are replicated.  Works identically on a real pod slice
 (run parallel.distributed_init() first on each host) and on a virtual CPU
 mesh:
 
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/multichip.py
+
+(The CPU platform is forced through ``jax.config`` below: a registered
+TPU plugin — e.g. this dev box's axon tunnel — ignores the
+``JAX_PLATFORMS`` env var, and a single-chip backend would defeat the
+8-device mesh the example is meant to demonstrate.)
 """
 
 import os
@@ -18,14 +23,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+os.environ.setdefault(
+    'XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+
 
 def main():
     import jax
 
+    # Env var alone is not enough under TPU plugins; the config API wins.
+    jax.config.update('jax_platforms', 'cpu')
+
     from demo import synthetic_dataset
     from xarray_parcel_tpu import api, parallel, pipeline
 
-    devices = jax.devices()
+    devices = jax.devices('cpu')
     mesh = parallel.make_mesh(devices)
     print(f'mesh: {len(devices)} x {devices[0].platform}')
 

@@ -121,9 +121,27 @@ def surface_cape_cin_column(pressure, temperature, dewpoint,
     flow.  Returns (cape, cin, lfc_pressure, el_pressure).
     """
     p = np.asarray(pressure, float)
+    res = cape_cin_column(p, temperature, dewpoint,
+                          p[0], np.asarray(temperature, float)[0],
+                          np.asarray(dewpoint, float)[0],
+                          virtual_temperature_correction)
+    return res['cape'], res['cin'], res['lfc'], res['el']
+
+
+def cape_cin_column(pressure, temperature, dewpoint, p0, t0, td0,
+                    virtual_temperature_correction=True):
+    """CAPE/CIN for one column and an arbitrary parcel (p0, t0, td0),
+    fully serial.  The column must start at/above the parcel level (the
+    caller slices/builds it, as the reference's subsetting wrappers do).
+
+    Returns a dict with cape/cin/lfc/el plus the spliced profile tracks
+    (``pp`` pressures, ``parcel_t`` real parcel temperatures, ``env_t``
+    environment temperatures) for the lifted-index oracle.
+    """
+    p = np.asarray(pressure, float)
     t = np.asarray(temperature, float)
     td = np.asarray(dewpoint, float)
-    p0, t0, td0 = p[0], t[0], td[0]
+    p0, t0, td0 = float(p0), float(t0), float(td0)
 
     # --- parcel profile with LCL spliced in ---
     lcl_p, lcl_t = lcl(p0, t0, td0)
@@ -218,11 +236,163 @@ def surface_cape_cin_column(pressure, temperature, dewpoint,
                 total += a
         return total
 
+    profile = {'pp': pp, 'parcel_t': prof, 'env_t': t_env}
     if np.isnan(lfc_p):
-        return 0.0, 0.0, lfc_p, el_p
+        return {'cape': 0.0, 'cin': 0.0, 'lfc': lfc_p, 'el': el_p,
+                **profile}
 
     cape = trapz_between(lfc_p, el_eff, positive=True)
     cape += sum(a for (x, a) in rects if el_eff <= x <= lfc_p and a > 0)
     cin = trapz_between(np.inf, lfc_p, positive=False)
     cin += sum(a for (x, a) in rects if x >= lfc_p and a < 0)
-    return Rd * cape, Rd * cin, lfc_p, el_p
+    return {'cape': Rd * cape, 'cin': Rd * cin, 'lfc': lfc_p, 'el': el_p,
+            **profile}
+
+
+# ---------------------------------------------------------------------------
+# Extended serial oracles: the reference's full serial-vs-vector comparison
+# set (reference: modules/parcel_test.py:276-414) — most-unstable and
+# mixed-layer CAPE/CIN, lifted index, DCI, wet bulbs and shear, each computed
+# one column at a time with Python control flow and scipy backends.
+# ---------------------------------------------------------------------------
+
+P0_REF = 1000.0
+
+
+def theta_e_bolton(p, t, td):
+    """Bolton (1980) equivalent potential temperature, MetPy-1.4.1 form."""
+    e = es(td)
+    r = mixing_ratio_from_e(e, p)
+    t_l = 56.0 + 1.0 / (1.0 / (td - 56.0) + np.log(t / td) / 800.0)
+    th_l = t * (P0_REF / (p - e)) ** kappa * (t / t_l) ** (0.28 * r)
+    return th_l * np.exp(r * (1.0 + 0.448 * r) * (3036.0 / t_l - 1.78))
+
+
+def linear_interp_point(x, coords, at):
+    """Duplicate-aware single-target linear interpolation, serial form
+    (reference: modules/parcel_functions.py:1758-1811)."""
+    above = coords[coords >= at]
+    below = coords[coords <= at]
+    if len(above) == 0 or len(below) == 0:
+        return np.nan
+    cb, ca = above.min(), below.max()
+    xb = x[coords == cb].mean()
+    xa = x[coords == ca].mean()
+    if xb == xa:
+        return xb
+    return xb + (xa - xb) * (at - cb) / (ca - cb)
+
+
+def most_unstable_index(p, t, td, depth=250.0):
+    """Index of the max-theta-e level in the surface-based layer (ties take
+    the lowest level; non-interpolated layer top snaps to the nearest
+    level, ties to larger pressure — reference :102-135, :208-227)."""
+    bottom = np.nanmax(p)
+    target = bottom - depth
+    diffs = np.abs(p - target)
+    top = p[diffs == np.nanmin(diffs)].max()
+    sel = (p <= bottom) & (p >= top)
+    eq = np.where(sel, theta_e_bolton(p, t, td), np.nan)
+    cands = sel & (eq == np.nanmax(eq))
+    return int(np.argmax(cands))      # first True = largest pressure
+
+
+def most_unstable_cape_cin_column(p, t, td, depth=250.0):
+    """Serial most-unstable CAPE/CIN: subset the column at/above the
+    max-theta-e parcel, launch from it (reference :1517-1602)."""
+    p = np.asarray(p, float)
+    t = np.asarray(t, float)
+    td = np.asarray(td, float)
+    k = most_unstable_index(p, t, td, depth=depth)
+    res = cape_cin_column(p[k:], t[k:], td[k:], p[k], t[k], td[k])
+    res['parcel_pressure'] = p[k]
+    res['parcel_dewpoint'] = td[k]
+    return res
+
+
+def mixed_parcel_column(p, t, td, depth=100.0):
+    """Serial fully-mixed parcel: mass-weighted theta / mixing-ratio means
+    over the surface layer (interpolated top), evaluated at the surface
+    pressure (reference :137-162, :229-289)."""
+    p = np.asarray(p, float)
+    theta = t * (P0_REF / p) ** kappa
+    w = sat_mixing_ratio(p, td)       # conserved: w_s at the dewpoint
+    bottom = np.nanmax(p)
+    top = bottom - depth
+
+    theta_top = log_interp_point(theta, p, top)
+    w_top = log_interp_point(w, p, top)
+    sel = (p <= bottom) & (p >= top)
+    pl = np.concatenate([p[sel], [top]])
+    thetal = np.concatenate([theta[sel], [theta_top]])
+    wl = np.concatenate([w[sel], [w_top]])
+
+    def mixed(v):
+        total = 0.0
+        for i in range(len(pl) - 1):
+            total += 0.5 * (v[i] + v[i + 1]) * abs(pl[i + 1] - pl[i])
+        return total / (pl.max() - pl.min())
+
+    p0 = p[0]
+    temp = mixed(thetal) * (p0 / P0_REF) ** kappa
+    wm = mixed(wl)
+    vap = p0 * wm / (eps + wm)
+    return p0, temp, dewpoint_from_e(vap)
+
+
+def mixed_layer_cape_cin_column(p, t, td, depth=100.0):
+    """Serial mixed-layer CAPE/CIN: the mixed parcel replaces the lowest
+    ``depth`` hPa as the new bottom level (reference :1604-1697)."""
+    p = np.asarray(p, float)
+    t = np.asarray(t, float)
+    td = np.asarray(td, float)
+    p0, mt, mtd = mixed_parcel_column(p, t, td, depth=depth)
+    keep = p < (np.nanmax(p) - depth)
+    pp = np.concatenate([[p0], p[keep]])
+    tt = np.concatenate([[mt], t[keep]])
+    tdd = np.concatenate([[mtd], td[keep]])
+    res = cape_cin_column(pp, tt, tdd, p0, mt, mtd)
+    res['parcel_pressure'] = p0
+    res['parcel_dewpoint'] = mtd
+    return res
+
+
+def lifted_index_column(profile):
+    """Galway lifted index from a spliced serial profile
+    (reference :1722-1756)."""
+    return (log_interp_point(profile['env_t'], profile['pp'], 500.0) -
+            log_interp_point(profile['parcel_t'], profile['pp'], 500.0))
+
+
+def dci_column(p, t, td, lifted_index):
+    """Kunz DCI from the original column (reference :1830-1870)."""
+    t850 = log_interp_point(np.asarray(t, float), np.asarray(p, float),
+                            850.0)
+    td850 = log_interp_point(np.asarray(td, float), np.asarray(p, float),
+                             850.0)
+    return (t850 - 273.15) + (td850 - 273.15) - lifted_index
+
+
+def wet_bulb_exact_point(p, t, td):
+    """Exact wet bulb for one (p, T, Td) point: lift dry to the LCL, bring
+    back moist (Normand's rule; reference :389-445)."""
+    lcl_p, lcl_t = lcl(p, t, td)
+    return moist_lapse(np.array([p]), lcl_t, lcl_p)[0]
+
+
+def wet_bulb_fast_point(t, td):
+    """Knox one-third rule (reference :364-387)."""
+    return t - (t - td) / 3.0
+
+
+def wind_shear_column(su, sv, wu, wv, height, shear_height=6000.0):
+    """Bulk shear between the surface wind and the wind linearly
+    interpolated at ``shear_height`` (reference :2216-2259)."""
+    hu = linear_interp_point(np.asarray(wu, float),
+                             np.asarray(height, float), shear_height)
+    hv = linear_interp_point(np.asarray(wv, float),
+                             np.asarray(height, float), shear_height)
+    du, dv = hu - su, hv - sv
+    return {'shear_u': du, 'shear_v': dv,
+            'shear_magnitude': np.hypot(du, dv),
+            'positive_shear': bool(np.hypot(hu, hv) > np.hypot(su, sv))}

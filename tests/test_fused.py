@@ -117,3 +117,51 @@ def test_fused_sharded_over_mesh(tables):
     res_u, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
     np.testing.assert_allclose(np.asarray(cape_s),
                                np.asarray(res_u['cape']), atol=1e-5)
+
+
+def test_layouts_agree_and_gradients(tables):
+    """The columns-on-lanes production layout and the rows layout are the
+    same program in two memory layouts: outputs (values and NaN patterns)
+    and gradients must agree."""
+    import jax
+
+    p, t, td = _grid(B=40, L=44, seed=9)
+    t = t.at[5].set(jnp.nan)                       # a poisoned column
+
+    res_c, sol_c = fused.fused_surface_cape_cin(p, t, td, tables=tables,
+                                                layout='columns')
+    res_r, sol_r = fused.fused_surface_cape_cin(p, t, td, tables=tables,
+                                                layout='rows')
+    for d_c, d_r in ((res_c, res_r), (sol_c, sol_r)):
+        for k in d_c:
+            a, b = np.asarray(d_c[k]), np.asarray(d_r[k])
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=f'NaN pattern: {k}')
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                       atol=1e-6, err_msg=k)
+
+    def total(layout):
+        def f(t0):
+            res, _ = fused.fused_surface_cape_cin(
+                p, t.at[:, 0].set(t0), td, tables=tables, layout=layout)
+            return jnp.nansum(res['cape'])
+        return jax.grad(f)(t[:, 0])
+
+    g_c, g_r = total('columns'), total('rows')
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_r), atol=1e-5)
+
+
+def test_layouts_agree_with_li_and_profile(tables):
+    p, t, td = _grid(B=24, L=40, seed=13)
+    kw = dict(tables=tables, with_lifted_index=True, with_profile=True)
+    res_c, _ = fused.fused_surface_cape_cin(p, t, td, layout='columns', **kw)
+    res_r, _ = fused.fused_surface_cape_cin(p, t, td, layout='rows', **kw)
+    np.testing.assert_allclose(np.asarray(res_c['lifted_index']),
+                               np.asarray(res_r['lifted_index']), atol=1e-6)
+    for k in res_c['profile']:
+        a = np.asarray(res_c['profile'][k])
+        b = np.asarray(res_r['profile'][k])
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-6, err_msg=k)

@@ -263,3 +263,96 @@ def test_masked_prefix_solve_equals_compacted():
               'el_temperature'):
         assert_array_almost_equal(np.asarray(sol_m[k]), np.asarray(sol_c[k]),
                                   6)
+
+
+def test_axis0_ops_match_axis_minus1():
+    """Every column op is axis-general: running it with the level axis
+    leading (the fused kernel's columns-on-lanes layout) must reproduce the
+    default trailing-axis results exactly."""
+    import jax.numpy as jnp
+    from xarray_parcel_tpu.ops import (find_intersections, insert_level,
+                                       interp_many, trap_around_zeros,
+                                       trapz)
+
+    rng = np.random.default_rng(21)
+    B, L = 12, 24
+    p = -np.sort(-(np.linspace(1000.0, 200.0, L)[None, :] +
+                   rng.normal(0, 1, (B, L))), axis=-1)
+    a = 280.0 + rng.normal(0, 8, (B, L))
+    b = 280.0 + rng.normal(0, 8, (B, L))
+    p[2, :3] = np.nan                       # leading-NaN prefix
+    a[5, -2] = np.nan
+    pj, aj, bj = jnp.asarray(p), jnp.asarray(a), jnp.asarray(b)
+    pt, at_, bt = pj.T, aj.T, bj.T
+
+    def eq(x, y, msg):
+        x, y = np.asarray(x), np.asarray(y)
+        np.testing.assert_array_equal(np.isnan(x), np.isnan(y),
+                                      err_msg=f'NaN: {msg}')
+        np.testing.assert_allclose(np.nan_to_num(x), np.nan_to_num(y),
+                                   atol=1e-12, err_msg=msg)
+
+    i0 = find_intersections(pj, aj, bj, log_x=True)
+    i1 = find_intersections(pt, at_, bt, log_x=True, axis=0)
+    for k in i0:
+        eq(i0[k], i1[k].T, f'find_intersections {k}')
+
+    at_target = jnp.asarray(850.0 + rng.normal(0, 5, (B,)))
+    m0 = interp_many((aj, bj), pj, at_target, log=True)
+    m1 = interp_many((at_, bt), pt, at_target, log=True, axis=0)
+    eq(m0[0], m1[0], 'interp_many a')
+    eq(m0[1], m1[1], 'interp_many b')
+
+    lvl_p = jnp.asarray(900.0 + rng.normal(0, 5, (B,)))
+    lvl_a = jnp.asarray(285.0 + rng.normal(0, 2, (B,)))
+    f0 = insert_level({'pressure': pj, 'a': aj},
+                      {'pressure': lvl_p, 'a': lvl_a})
+    f1 = insert_level({'pressure': pt, 'a': at_},
+                      {'pressure': lvl_p, 'a': lvl_a}, axis=0)
+    eq(f0['pressure'], f1['pressure'].T, 'insert_level pressure')
+    eq(f0['a'], f1['a'].T, 'insert_level a')
+
+    y = aj - bj
+    t0 = trapz(y, jnp.log(pj))
+    t1 = trapz(y.T, jnp.log(pt), axis=0)
+    eq(t0, t1, 'trapz')
+
+    ar0, gm0 = trap_around_zeros(pj, y, log_x=True)
+    ar1, gm1 = trap_around_zeros(pt, y.T, log_x=True, axis=0)
+    for k in ar0:
+        eq(ar0[k], ar1[k].T, f'trap_around_zeros {k}')
+    np.testing.assert_array_equal(np.asarray(gm0), np.asarray(gm1).T)
+
+
+def test_axis0_cape_solvers_match():
+    import jax.numpy as jnp
+    from xarray_parcel_tpu.cape import cape_cin_base, lfc_el
+
+    rng = np.random.default_rng(22)
+    B, L = 10, 30
+    p = -np.sort(-(np.linspace(1005.0, 250.0, L)[None, :] +
+                   rng.normal(0, 1, (B, L))), axis=-1)
+    t = 300.0 - 72.0 * (1.0 - (p / 1005.0) ** 0.3) + rng.normal(
+        0, 1.5, (B, L))
+    pt_track = t + rng.normal(1.0, 2.0, (B, L))
+    lcl_p = np.full((B,), 940.0) + rng.normal(0, 5, (B,))
+    lcl_t = 292.0 + rng.normal(0, 2, (B,))
+    args0 = (jnp.asarray(p), jnp.asarray(pt_track), jnp.asarray(t),
+             jnp.asarray(lcl_p), jnp.asarray(lcl_t))
+    argsT = (args0[0].T, args0[1].T, args0[2].T, args0[3], args0[4])
+
+    s0 = lfc_el(*args0)
+    s1 = lfc_el(*argsT, axis=0)
+    for k in s0:
+        a, b = np.asarray(s0[k]), np.asarray(s1[k])
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-12, err_msg=k)
+
+    r0 = cape_cin_base(args0[0], args0[2], s0['lfc_pressure'],
+                       s0['el_pressure'], args0[1])
+    r1 = cape_cin_base(argsT[0], argsT[2], s1['lfc_pressure'],
+                       s1['el_pressure'], argsT[1], axis=0)
+    for k in r0:
+        np.testing.assert_allclose(np.asarray(r0[k]), np.asarray(r1[k]),
+                                   atol=1e-9, err_msg=k)

@@ -282,3 +282,130 @@ def test_dataset_sb_jit_cache_reused(dat_dew):
 def test_stream_and_mesh_mutually_exclusive(dat):
     with pytest.raises(ValueError):
         xarray_api.conv_properties(dat, mesh=object(), stream_columns=4)
+
+
+def _vals(x):
+    return np.asarray(x.values if hasattr(x, 'values') else x)
+
+
+def test_ops_level_wrappers(dat_dew):
+    """The reference exposes its building blocks as xarray functions
+    (reference: modules/parcel_functions.py:63-289, :933-1064, :1699-1828);
+    mirror each wrapper against the array API."""
+    import jax.numpy as jnp
+
+    p = dat_dew['pressure']
+    t = dat_dew['temperature']
+    td = dat_dew['dewpoint']
+    pj, tj = jnp.asarray(_vals(p)), jnp.asarray(_vals(t))
+    tdj = jnp.asarray(_vals(td))
+
+    lay = xarray_api.get_layer(
+        xr.Dataset({'pressure': p, 'temperature': t}), depth=100.0)
+    ref = api.get_layer({'pressure': pj, 'temperature': tj}, depth=100.0)
+    np.testing.assert_allclose(_vals(lay['temperature']),
+                               np.asarray(ref['temperature']),
+                               equal_nan=True)
+    assert _vals(lay['pressure']).shape[-1] == pj.shape[-1] + 1
+
+    ml = xarray_api.mixed_layer(
+        xr.Dataset({'pressure': p, 'temperature': t}), depth=100.0)
+    ref = api.mixed_layer({'pressure': pj, 'temperature': tj}, depth=100.0)
+    np.testing.assert_allclose(_vals(ml['temperature']),
+                               np.asarray(ref['temperature']), rtol=1e-6)
+
+    mp = xarray_api.mixed_parcel(p, t, td, depth=100.0)
+    ref = api.mixed_parcel(pj, tj, tdj, depth=100.0)
+    for k in ('pressure', 'temperature', 'dewpoint'):
+        np.testing.assert_allclose(_vals(mp[k]), np.asarray(ref[k]),
+                                   rtol=1e-6)
+
+    mu = xarray_api.most_unstable_parcel(p, t, td, depth=300.0)
+    ref = api.most_unstable_parcel(pj, tj, tdj, depth=300.0)
+    for k in ('pressure', 'temperature', 'dewpoint'):
+        np.testing.assert_allclose(_vals(mu[k]), np.asarray(ref[k]),
+                                   rtol=1e-6)
+
+    ints = xarray_api.find_intersections(p, t, td, log_x=True)
+    ref = api.find_intersections(pj, tj, tdj, log_x=True)
+    np.testing.assert_allclose(_vals(ints['all_x']),
+                               np.asarray(ref['all_x']), equal_nan=True,
+                               rtol=1e-6)
+
+    tz = xarray_api.trapz(t, p)
+    np.testing.assert_allclose(_vals(tz), np.asarray(api.trapz(tj, pj)),
+                               rtol=1e-6)
+
+    li = xarray_api.log_interp(t, p, 850.0)
+    np.testing.assert_allclose(_vals(li),
+                               np.asarray(api.log_interp(tj, pj, 850.0)),
+                               rtol=1e-6)
+    li2 = xarray_api.linear_interp(t, p, 850.0)
+    np.testing.assert_allclose(_vals(li2),
+                               np.asarray(api.linear_interp(tj, pj, 850.0)),
+                               rtol=1e-6)
+
+
+def test_insert_level_and_shift_out_nans_wrappers(dat_dew):
+    import jax.numpy as jnp
+
+    p = dat_dew['pressure']
+    t = dat_dew['temperature']
+    pj, tj = jnp.asarray(_vals(p)), jnp.asarray(_vals(t))
+    batch = pj.shape[:-1]
+
+    lvl_p = np.full(batch, 900.0)
+    lvl_t = np.full(batch, 285.0)
+    in_vc_ds = _vals(dat_dew.coords['model_level_number'])
+    out = xarray_api.insert_level(
+        xr.Dataset({'pressure': p, 'temperature': t},
+                   coords={'model_level_number': in_vc_ds}),
+        {'pressure': lvl_p, 'temperature': lvl_t})
+    ref = api.insert_level({'pressure': pj, 'temperature': tj},
+                           {'pressure': jnp.asarray(lvl_p),
+                            'temperature': jnp.asarray(lvl_t)})
+    np.testing.assert_allclose(_vals(out['temperature']),
+                               np.asarray(ref['temperature']),
+                               equal_nan=True)
+    # The spliced output keeps a vertical index coordinate, extended by one
+    # (the reference's reindexing; modules/parcel_functions.py:977-988).
+    vc = _vals(out.coords['model_level_number'])
+    in_vc = _vals(dat_dew.coords['model_level_number'])
+    assert len(vc) == len(in_vc) + 1
+    np.testing.assert_array_equal(vc[:-1], in_vc)
+    assert vc[-1] == in_vc[-1] + 1
+
+    # shift_out_nans round-trips a leading-NaN column to compacted form.
+    pn = _vals(p).copy()
+    tn = _vals(t).copy()
+    pn[0, 0, :2] = np.nan
+    tn[0, 0, :2] = np.nan
+    dims = p.dims
+    sh = xarray_api.shift_out_nans(
+        xr.Dataset({'pressure': (dims, pn), 'temperature': (dims, tn)}),
+        key='pressure')
+    ref = api.shift_out_nans({'pressure': jnp.asarray(pn),
+                              'temperature': jnp.asarray(tn)},
+                             key='pressure')
+    np.testing.assert_allclose(_vals(sh['pressure']),
+                               np.asarray(ref['pressure']), equal_nan=True)
+
+
+def test_profile_outputs_carry_vert_coord(dat_dew):
+    in_vc = _vals(dat_dew.coords['model_level_number'])
+    dims = dat_dew['pressure'].dims
+
+    def with_vc(name):
+        return xr.DataArray(_vals(dat_dew[name]), dims=dims,
+                            coords={'model_level_number': in_vc})
+
+    def surf(name):
+        return xr.DataArray(_vals(dat_dew[name])[..., 0], dims=dims[:-1])
+
+    prof = xarray_api.parcel_profile_with_lcl(
+        with_vc('pressure'), with_vc('temperature'), with_vc('dewpoint'),
+        surf('pressure'), surf('temperature'), surf('dewpoint'))
+    vc = _vals(prof.coords['model_level_number'])
+    assert len(vc) == len(in_vc) + 1          # LCL splice adds one level
+    np.testing.assert_array_equal(vc[:-1], in_vc)
+    assert vc[-1] == in_vc[-1] + 1

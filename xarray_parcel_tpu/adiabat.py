@@ -230,20 +230,27 @@ def build_spectral(dtype=jnp.float32, n_coef=N_COEF, n_substeps=64):
     return coeffs.T.astype(dtype)                   # (N_CURVES, n_coef)
 
 
-def _eval_spectral(coeffs, pressure, log_pressure=None):
+def _eval_spectral(coeffs, pressure, log_pressure=None, axis=-1):
     """Clenshaw evaluation of per-column Chebyshev coefficients (…, K) at
     per-level pressures (…, L) — pure VPU arithmetic, fuses under XLA.
-    ``log_pressure``: optional precomputed ``log(pressure)``."""
+    ``log_pressure``: optional precomputed ``log(pressure)``.
+    ``axis``: level axis of ``pressure``; with ``axis == 0`` (the fused
+    kernel's columns-on-lanes layout) ``coeffs`` is (K, …batch) and
+    ``pressure`` (L, …batch), and coefficient k broadcasts natively."""
     lnp = log_pressure if log_pressure is not None else jnp.log(pressure)
     u = (2.0 * lnp - (_LNP_HI + _LNP_LO)) / (_LNP_HI - _LNP_LO)
     u = jnp.clip(u, -1.0, 1.0)
-    K = coeffs.shape[-1]
+    if axis == -1:
+        coef = lambda k: coeffs[..., k:k + 1]
+    else:
+        coef = lambda k: coeffs[k]
+    K = coeffs.shape[0 if axis == 0 else -1]
     b1 = jnp.zeros_like(u)
     b2 = jnp.zeros_like(u)
     two_u = 2.0 * u
     for k in range(K - 1, 0, -1):
-        b1, b2 = coeffs[..., k:k + 1] + two_u * b1 - b2, b1
-    return coeffs[..., 0:1] + u * b1 - b2
+        b1, b2 = coef(k) + two_u * b1 - b2, b1
+    return coef(0) + u * b1 - b2
 
 
 class AdiabatTables:
@@ -325,6 +332,11 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
     ``_f64.npz``) so an fp32-built cache is never silently served to an
     fp64 validation session; a cache of wider dtype is downcast, a
     narrower one is rebuilt.
+
+    When an explicit ``cache_path`` (or ``XPARCEL_TPU_TABLE_CACHE``) holds
+    insufficient precision, the dtype-keyed default path is consulted as a
+    fallback load candidate, and rebuilt tables are saved there rather
+    than overwriting the explicit cache.
     """
     global _DEFAULT_TABLES, _DEFAULT_SOURCE
     desired = jnp.dtype(dtype or (jnp.float64 if jax.config.jax_enable_x64
@@ -364,11 +376,14 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
     _DEFAULT_SOURCE = path
     save_path = path
     explicit = cache_path or os.environ.get('XPARCEL_TPU_TABLE_CACHE')
-    if explicit and os.path.exists(path) and not regenerate:
+    if (explicit and os.path.exists(path) and not regenerate and
+            path != default_path):
         # A user-supplied cache of insufficient precision is never silently
         # overwritten; the rebuilt tables go to the dtype-keyed default path
         # (which is also a load candidate above, so later processes with the
-        # same explicit cache load it instead of rebuilding).
+        # same explicit cache load it instead of rebuilding).  An "explicit"
+        # path that IS the dtype-keyed default is just the default cache —
+        # plain overwrite, no redirect, no warning.
         warnings.warn(
             f'table cache {path!r} holds {_stored_dtype(path)} but '
             f'{desired} was requested; rebuilt tables cached at '

@@ -23,12 +23,13 @@ import jax.numpy as jnp
 from . import constants as c
 from .ops import (find_intersections, nanmax, nanmin, nansum, safe_exp,
                   safe_log, trap_around_zeros, trapz)
+from .ops._axis import axis_index, expander
 from .profile import parcel_profile_with_lcl
 
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
            lcl_temperature, intersections=None, log_pressure=None,
-           intersections_in_log=False, first_valid=None):
+           intersections_in_log=False, first_valid=None, axis=-1):
     """Level of free convection and equilibrium level.
 
     Inputs are (…, L) profile tracks (already including the LCL level when
@@ -42,7 +43,11 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     the precomputed ``log_pressure``): all pressure comparisons then run in
     log space — same order, same NaN pattern, zero per-level transcendentals
     — and only the two scalar outputs are exponentiated.
+
+    ``axis``: level axis, -1 (default) or 0 (the fused kernel's
+    columns-on-lanes layout).
     """
+    ex = expander(axis)
     p = jnp.asarray(pressure)
     pt = jnp.asarray(parcel_temperature)
     t = jnp.asarray(temperature)
@@ -51,7 +56,7 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     lcl_t = jnp.asarray(lcl_temperature)
 
     ints = (intersections if intersections is not None else
-            find_intersections(p, pt, t, log_x=True))
+            find_intersections(p, pt, t, log_x=True, axis=axis))
 
     if intersections_in_log:
         # Work entirely in log-pressure: log is monotone, so every order
@@ -74,16 +79,18 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     # ``first_valid`` optionally supplies the index (argmax does not lower
     # inside Pallas kernels; the fused path precomputes it in XLA).
     if first_valid is None:
-        first_valid = jnp.argmax(~jnp.isnan(p), axis=-1)
-    k0 = jnp.asarray(first_valid).astype(jnp.int32)[..., None]
+        first_valid = jnp.argmax(~jnp.isnan(p), axis=axis)
+    k0 = ex(jnp.asarray(first_valid).astype(jnp.int32))
     gaps = ints['increasing_x'].shape
-    gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps, len(gaps) - 1) == k0
+    gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps,
+                                    axis_index(axis, len(gaps))) == k0
     # Where parcel and environment share the exact first-level value, use the
     # crossing set that ignores that point (reference :1114-1120).
-    at_k0 = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1) == k0
-    t0 = nanmax(t, where=at_k0)
-    pt0 = nanmax(pt, where=at_k0)
-    same_first = (t0 == pt0)[..., None]
+    at_k0 = jax.lax.broadcasted_iota(jnp.int32, p.shape,
+                                     axis_index(axis, p.ndim)) == k0
+    t0 = nanmax(t, where=at_k0, axis=axis)
+    pt0 = nanmax(pt, where=at_k0, axis=axis)
+    same_first = ex(t0 == pt0)
     drop_inc = gap0 & same_first
     inc_x = jnp.where(drop_inc, jnp.nan, ints['increasing_x'])
     inc_y = jnp.where(drop_inc, jnp.nan, ints['increasing_y'])
@@ -91,33 +98,33 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     dec_y_above = jnp.where(gap0, jnp.nan, ints['decreasing_y'])
 
     # LFC: bottom-most increasing crossing above the LCL.
-    above_lcl = inc_x < lclw[..., None]
-    lfc_p = nanmax(inc_x, where=above_lcl)
-    lfc_t = nanmax(inc_y, where=inc_x == lfc_p[..., None])
+    above_lcl = inc_x < ex(lclw)
+    lfc_p = nanmax(inc_x, where=above_lcl, axis=axis)
+    lfc_t = nanmax(inc_y, where=inc_x == ex(lfc_p), axis=axis)
 
     # EL: top-most decreasing crossing (always from the above-first set;
     # the temperature match must use the SAME set, else a gap-0 decreasing
     # crossing with same_first=False could match the wrong y).
-    el_p = nanmin(dec_x_above)
-    el_t = nanmax(dec_y_above, where=dec_x_above == el_p[..., None])
+    el_p = nanmin(dec_x_above, axis=axis)
+    el_t = nanmax(dec_y_above, where=dec_x_above == ex(el_p), axis=axis)
 
     # EL existence: parcel colder than environment at the top of the sounding
     # and EL above the LCL (reference :1141-1155).
     temps_available = ~jnp.isnan(pt) & ~jnp.isnan(t)
-    top_p = nanmin(pw, where=temps_available)
-    at_top = pw == top_p[..., None]
-    top_prof = nanmax(pt, where=at_top)
-    top_env = nanmax(t, where=at_top)
+    top_p = nanmin(pw, where=temps_available, axis=axis)
+    at_top = pw == ex(top_p)
+    top_prof = nanmax(pt, where=at_top, axis=axis)
+    top_env = nanmax(t, where=at_top, axis=axis)
     el_exists = (top_prof <= top_env) & (el_p < lclw)
     el_p = jnp.where(el_exists, el_p, jnp.nan)
     el_t = jnp.where(el_exists, el_t, jnp.nan)
 
     # LCL substitution rules (USAF1990; reference :1160-1185).
-    lfc_missing = jnp.isnan(nanmax(inc_x))
-    above = pw < lclw[..., None]
+    lfc_missing = jnp.isnan(nanmax(inc_x, axis=axis))
+    above = pw < ex(lclw)
     # (pt > t is False for NaN pairs, so plain & matches the reference's
     # where().any(); boolean select ops do not lower inside Pallas.)
-    pos_parcel = jnp.any(above & (pt > t), axis=-1)
+    pos_parcel = jnp.any(above & (pt > t), axis=axis)
     no_lfc_pos_parcel = pos_parcel & lfc_missing
 
     exists_but_na = ~lfc_missing & jnp.isnan(lfc_p)
@@ -145,7 +152,7 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
                   parcel_temperature, pos_cape_neg_cin=True,
                   post_zero_cin=False, intersections=None,
                   log_pressure=None, log_lfc_pressure=None,
-                  log_el_pressure=None, **unused_kwargs):
+                  log_el_pressure=None, axis=-1, **unused_kwargs):
     """CAPE and CIN from a parcel track and LFC/EL pressures.
 
     (reference: modules/parcel_functions.py:1291-1392).  ``pos_cape_neg_cin``
@@ -158,24 +165,26 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     ``log(el)`` scalars — no per-level/per-gap transcendentals beyond the
     single ``log(pressure)`` (itself skippable via ``log_pressure``).
     """
+    ex = expander(axis)
     p = jnp.asarray(pressure)
     t = jnp.asarray(temperature)
     pt = jnp.asarray(parcel_temperature)
     p, t, pt = jnp.broadcast_arrays(p, t, pt)
     log_p = log_pressure if log_pressure is not None else safe_log(p)
-    lfc_lp = (jnp.asarray(log_lfc_pressure) if log_lfc_pressure is not None
-              else safe_log(lfc_pressure))[..., None]
+    lfc_lp = ex(jnp.asarray(log_lfc_pressure)
+                if log_lfc_pressure is not None
+                else safe_log(lfc_pressure))
 
     # Missing EL -> top of sounding (reference :1329-1330).
     el = (jnp.asarray(log_el_pressure) if log_el_pressure is not None
           else safe_log(el_pressure))
-    el_lp = jnp.where(jnp.isnan(el), nanmin(log_p), el)[..., None]
+    el_lp = ex(jnp.where(jnp.isnan(el), nanmin(log_p, axis=axis), el))
 
     diff = pt - t
 
     areas, gap_mask = trap_around_zeros(p, diff, log_x=True, start=0,
                                         intersections=intersections,
-                                        log_x_values=log_pressure)
+                                        log_x_values=log_pressure, axis=axis)
     area_x = areas['x']                        # log-pressure positions
     area = areas['area']
 
@@ -187,8 +196,8 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     if pos_cape_neg_cin:
         a_cape = a_cape & (area > 0)
     cape = c.Rd * trapz(diff_cape, lp_cape, mask=gap_mask,
-                        only_positive=pos_cape_neg_cin)
-    cape = cape + c.Rd * nansum(area, where=a_cape)
+                        only_positive=pos_cape_neg_cin, axis=axis)
+    cape = cape + c.Rd * nansum(area, where=a_cape, axis=axis)
 
     # CIN: negative buoyancy between surface and LFC.
     in_cin = log_p >= lfc_lp
@@ -198,8 +207,8 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     if pos_cape_neg_cin:
         a_cin = a_cin & (area < 0)
     cin = c.Rd * trapz(diff_cin, lp_cin, mask=gap_mask,
-                       only_negative=pos_cape_neg_cin)
-    cin = cin + c.Rd * nansum(area, where=a_cin)
+                       only_negative=pos_cape_neg_cin, axis=axis)
+    cin = cin + c.Rd * nansum(area, where=a_cin, axis=axis)
 
     if post_zero_cin:
         cin = jnp.where(cin <= 0, cin, 0.0)

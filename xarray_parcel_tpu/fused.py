@@ -35,11 +35,12 @@ from .lcl import lcl
 import math
 
 from .ops import find_intersections, insert_level, interp_many, safe_log
+from .ops._axis import expander as _expander
 
 
 def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
                     virtual_temperature_correction=True, lcl_interp='log',
-                    with_lifted_index=False, with_profile=False,
+                    with_lifted_index=False, with_profile=False, axis=-1,
                     **cape_kwargs):
     """The per-column-block CAPE/CIN program on plain jnp values.
 
@@ -52,8 +53,14 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     (reference: modules/parcel_functions.py:712-780, 806-931, 1394-1475).
     With ``with_lifted_index`` also returns the Galway lifted index from the
     real-temperature tracks (reference: :1722-1756).
+
+    ``axis``: level axis.  With ``axis == 0`` (the columns-on-lanes layout:
+    arrays (L, TB), ``row`` (K, TB)) columns ride the TPU lane axis —
+    measured ~1.7x cheaper per vector op than rows-on-sublanes, because
+    L=91 lanes pad to 128 while 91 sublanes pad only to 96.
     """
-    lcl_pb = lcl_p[..., None]
+    ex = _expander(axis)
+    lcl_pb = ex(lcl_p)
 
     # NaN levels (padded columns / masked sub-parcel prefixes / poisoned
     # data) must produce NaN outputs but never ENTER the arithmetic:
@@ -66,8 +73,8 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     safe_lp = jnp.where(validp, lp, math.log(P_TOP))
 
     # Parcel temperature track: dry below the LCL, spectral moist above.
-    dry = thermo.dry_lapse(safe_p, t0[..., None], p0[..., None])
-    moist = _eval_spectral(row, safe_p, log_pressure=safe_lp)
+    dry = thermo.dry_lapse(safe_p, ex(t0), ex(p0))
+    moist = _eval_spectral(row, safe_p, log_pressure=safe_lp, axis=axis)
     moist = jnp.where((p >= P_BOT) & (p <= P_TOP), moist, jnp.nan)
     temp = jnp.where(p >= lcl_pb, dry, moist)
     temp = jnp.where(validp, temp, jnp.nan)
@@ -76,7 +83,7 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     validt = ~jnp.isnan(temp)
     safe_temp = jnp.where(validt, temp, 273.15)
     sat_w = thermo.saturation_mixing_ratio(safe_p, safe_temp)
-    w = jnp.where(p <= lcl_pb, sat_w, w0[..., None])
+    w = jnp.where(p <= lcl_pb, sat_w, ex(w0))
     vt = jnp.where(validt, thermo.virtual_temperature(safe_temp, w), jnp.nan)
 
     valid_env = validp & ~jnp.isnan(t) & ~jnp.isnan(td)
@@ -97,7 +104,7 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     # Environment interpolated at the LCL; env virtual T recomputed there
     # (one shared anchor computation for both variables).
     t_at, td_at = interp_many((t, td), p, lcl_p, log=lcl_interp == 'log',
-                              log_coords=lp)
+                              log_coords=lp, axis=axis)
     envvt_at = thermo.virtual_temperature(
         t_at, thermo.mixing_ratio(t_at, td_at, lcl_p))
     envt_at = t_at
@@ -118,71 +125,77 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
         level.update(ptemp=lcl_t, etemp=envt_at)
     # The LCL splices at/above the first valid level, so the leading-NaN
     # prefix (and with it the first-valid index) is unchanged by the splice.
-    ins = insert_level(fields, level, lead=k0)
+    ins = insert_level(fields, level, lead=k0, axis=axis)
     ins_lp = ins['log_pressure']
 
     ints = find_intersections(ins['pressure'], ins['parcel'], ins['env'],
                               log_x=True, log_x_values=ins_lp,
-                              log_outputs=True)
+                              log_outputs=True, axis=axis)
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
                  lcl_track, intersections=ints, log_pressure=ins_lp,
-                 intersections_in_log=True, first_valid=k0)
+                 intersections_in_log=True, first_valid=k0, axis=axis)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
                         sol['el_pressure'], ins['parcel'],
                         intersections=ints, log_pressure=ins_lp,
                         log_lfc_pressure=sol.pop('_lfc_log_pressure'),
                         log_el_pressure=sol.pop('_el_log_pressure'),
-                        **cape_kwargs)
+                        axis=axis, **cape_kwargs)
     if with_lifted_index:
         env500, par500 = interp_many(
             (ins['etemp'], ins['ptemp']), ins['pressure'], 500.0,
-            log=True, log_coords=ins_lp)
+            log=True, log_coords=ins_lp, axis=axis)
         res['lifted_index'] = env500 - par500
     if with_profile:
         res['profile'] = (ins['pressure'], ins['ptemp'], ins['etemp'])
     return res, sol
 
 
-def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs,
+def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs, axis=-1,
             with_lifted_index=False, with_profile=False, **kwargs):
     # Output packing lives ONLY in _column_outputs: the Pallas forward and
     # the XLA backward twin (custom_vjp) must emit identical orders.
     vals = _column_outputs(p_ref[:], t_ref[:], td_ref[:], row_ref[:],
-                           sc_ref[:], with_lifted_index, with_profile,
+                           sc_ref[:], axis, with_lifted_index, with_profile,
                            kwargs)
     for ref, val in zip(out_refs, vals):
         ref[:] = val
 
 
-# NOTE (measured, round 2): a column-on-lanes layout — blocks (L, TB)
-# instead of (TB, L) — is ~1.7x faster on this kernel's op mix (L=91 on
-# the lane axis pads every vector op to 128 lanes, ~29% waste; a (256, 91)
-# block spans 32 (8, 128) tiles vs 24 transposed).  Wrapping the column
-# program in jax.vmap over the lane axis does NOT work: vmap's batching
-# inserts axis moves whose select/bool lowerings crash this Mosaic version
-# (any vmapped select does, even same-shape lax.select; unbatched selects
-# in the same layout compile fine), and the moves would re-materialise the
-# rows layout anyway.  Capturing the win needs the column ops written
-# axis-generally (level axis = 0) — a candidate for a future round.
+# Layout note (measured, round 2; production default since round 3): the
+# columns-on-lanes layout — blocks (L, TB) with the column index on the TPU
+# lane axis — is ~1.7x faster than rows-on-sublanes (TB, L) on this
+# kernel's op mix: L=91 on the lane axis pads every vector op to 128 lanes
+# (~29% waste), and a (256, 91) block spans 32 (8, 128) tiles vs 24
+# transposed.  Wrapping the column program in jax.vmap over the lane axis
+# does NOT work: vmap's batching inserts axis moves whose select/bool
+# lowerings crash this Mosaic version (any vmapped select does, even
+# same-shape lax.select; unbatched selects in the same layout compile
+# fine).  Instead every column op takes an ``axis`` argument and the
+# kernel body runs with the level axis leading (axis=0).
 
 
-def _column_outputs(p, t, td, row, scalars, with_lifted_index, with_profile,
-                    kwargs):
+def _column_outputs(p, t, td, row, scalars, axis, with_lifted_index,
+                    with_profile, kwargs):
     """The kernel's output tuple computed by the SAME column program on
-    plain (B, L) arrays — the XLA twin used for the backward pass."""
+    plain (B, L) (axis=-1) or (L, B) (axis=0) arrays — the XLA twin used
+    for the backward pass."""
+    if axis == -1:
+        sc = [scalars[:, i] for i in range(7)]
+        pack = lambda v: v[..., None]       # (B,) -> (B, 1)
+    else:
+        sc = [scalars[i] for i in range(7)]
+        pack = lambda v: v[None, :]         # (B,) -> (1, B)
     res, sol = _column_program(
-        p, t, td, row,
-        scalars[:, 0], scalars[:, 1], scalars[:, 2], scalars[:, 3],
-        scalars[:, 4], scalars[:, 5], scalars[:, 6],
+        p, t, td, row, *sc, axis=axis,
         with_lifted_index=with_lifted_index, with_profile=with_profile,
         **kwargs)
-    vals = [res['cape'][..., None], res['cin'][..., None],
-            sol['lfc_pressure'][..., None],
-            sol['lfc_temperature'][..., None],
-            sol['el_pressure'][..., None],
-            sol['el_temperature'][..., None]]
+    vals = [pack(res['cape']), pack(res['cin']),
+            pack(sol['lfc_pressure']),
+            pack(sol['lfc_temperature']),
+            pack(sol['el_pressure']),
+            pack(sol['el_temperature'])]
     if with_lifted_index:
-        vals.append(res['lifted_index'][..., None])
+        vals.append(pack(res['lifted_index']))
     if with_profile:
         vals.extend(res['profile'])
     return tuple(vals)
@@ -190,7 +203,7 @@ def _column_outputs(p, t, td, row, scalars, with_lifted_index, with_profile,
 
 @functools.lru_cache(maxsize=64)
 def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
-               kwargs_items):
+               kwargs_items, layout='columns'):
     """Differentiable fused core for one static configuration.
 
     Forward = the Pallas kernel; backward = VJP of the identical column
@@ -198,25 +211,52 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
     backward recomputes from inputs — no residual memory).  Cotangents of
     NaN-padded columns are sliced away by the caller's unpad, so the twin
     may produce NaN gradients there harmlessly.
+
+    ``layout='columns'`` (production default): inputs arrive TRANSPOSED —
+    p/t/td (L, BP), row (K, BP), scalars (7, BP) — and blocks are (L, TB)
+    with columns riding the lane axis (see the layout note above).
+    ``layout='rows'``: the round-2 (TB, L) blocks over (BP, L) inputs.
     """
     kwargs = dict(kwargs_items)
     n_scalar = 7 if with_lifted_index else 6
     n_prof = 3 if with_profile else 0
+    axis = 0 if layout == 'columns' else -1
 
     def pallas_path(p, t, td, row, scalars):
-        BP = p.shape[0]
-        out_shape = ([jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_scalar +
-                     [jax.ShapeDtypeStruct((BP, L + 1), p.dtype)] * n_prof)
-        out_specs = ([pl.BlockSpec((TB, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)] * n_scalar +
-                     [pl.BlockSpec((TB, L + 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)] * n_prof)
-        return pl.pallas_call(
-            functools.partial(_kernel,
-                              with_lifted_index=with_lifted_index,
-                              with_profile=with_profile, **kwargs),
-            grid=(BP // TB,),
-            in_specs=[
+        kern = functools.partial(_kernel, axis=axis,
+                                 with_lifted_index=with_lifted_index,
+                                 with_profile=with_profile, **kwargs)
+        if layout == 'columns':
+            BP = p.shape[1]
+            out_shape = ([jax.ShapeDtypeStruct((1, BP), p.dtype)] * n_scalar
+                         + [jax.ShapeDtypeStruct((L + 1, BP), p.dtype)]
+                         * n_prof)
+            out_specs = ([pl.BlockSpec((1, TB), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * n_scalar +
+                         [pl.BlockSpec((L + 1, TB), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * n_prof)
+            in_specs = [
+                pl.BlockSpec((L, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            BP = p.shape[0]
+            out_shape = ([jax.ShapeDtypeStruct((BP, 1), p.dtype)] * n_scalar
+                         + [jax.ShapeDtypeStruct((BP, L + 1), p.dtype)]
+                         * n_prof)
+            out_specs = ([pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)] * n_scalar +
+                         [pl.BlockSpec((TB, L + 1), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)] * n_prof)
+            in_specs = [
                 pl.BlockSpec((TB, L), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TB, L), lambda i: (i, 0),
@@ -227,7 +267,11 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TB, 7), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ]
+        return pl.pallas_call(
+            kern,
+            grid=(BP // TB,),
+            in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
@@ -242,8 +286,8 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
 
     def bwd(resids, g):
         _, vjp = jax.vjp(
-            lambda *a: _column_outputs(*a, with_lifted_index, with_profile,
-                                       kwargs),
+            lambda *a: _column_outputs(*a, axis, with_lifted_index,
+                                       with_profile, kwargs),
             *resids)
         return vjp(tuple(g))
 
@@ -254,7 +298,8 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
 def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                    parcel_temperature=None, parcel_dewpoint=None,
                    tables=None, block_columns=256, interpret=None,
-                   with_lifted_index=False, with_profile=False, **kwargs):
+                   with_lifted_index=False, with_profile=False,
+                   layout='columns', **kwargs):
     """CAPE/CIN for an arbitrary parcel via the fused Pallas kernel.
 
     Drop-in for ``cape.cape_cin`` when only the CAPE/CIN numbers, LFC/EL
@@ -264,8 +309,11 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     matching the input batch shape.
 
     ``interpret`` defaults to True off-TPU so the same code runs under the
-    CPU test harness.
+    CPU test harness.  ``layout``: 'columns' (default — (L, TB) blocks,
+    columns on the TPU lane axis, measured ~1.7x faster) or 'rows' (the
+    round-2 (TB, L) blocks, kept for comparison benchmarks).
     """
+    assert layout in ('columns', 'rows')
     if tables is None:
         tables = adiabat.default_tables()
     p = jnp.asarray(pressure)
@@ -334,20 +382,30 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
         t = jnp.pad(t, ((0, pad), (0, 0)), constant_values=jnp.nan)
         td = jnp.pad(td, ((0, pad), (0, 0)), constant_values=jnp.nan)
         row = jnp.pad(row, ((0, pad), (0, 0)), constant_values=jnp.nan)
+        # Scalars pad with 0.0, NOT NaN: k0 is cast to int32 inside the
+        # kernel and float-NaN-to-int conversion is implementation-defined.
+        # The all-NaN p/t/td rows already force every padded-column output
+        # to NaN; the scalar values never affect real columns.
         scalars = jnp.pad(scalars, ((0, pad), (0, 0)),
-                          constant_values=jnp.nan)
-    BP = B + pad
+                          constant_values=0.0)
 
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
     core = _diff_core(TB, L, K, bool(interpret),
                       bool(with_lifted_index), bool(with_profile),
-                      tuple(sorted(kwargs.items())))
-    outs = core(p, t, td, row, scalars)
-
-    def shape(x):
-        return x[:B, 0].reshape(batch_shape)
+                      tuple(sorted(kwargs.items())), layout)
+    if layout == 'columns':
+        # One (BP, L) -> (L, BP) transpose per input: a single pass over
+        # HBM (~0.5 ms at 2^18 columns), repaid many times over by the
+        # ~1.7x cheaper per-op tiling inside the kernel.
+        outs = core(p.T, t.T, td.T, row.T, scalars.T)
+        shape = lambda x: x[0, :B].reshape(batch_shape)
+        prof = lambda x: x[:, :B].T.reshape(batch_shape + (L + 1,))
+    else:
+        outs = core(p, t, td, row, scalars)
+        shape = lambda x: x[:B, 0].reshape(batch_shape)
+        prof = lambda x: x[:B].reshape(batch_shape + (L + 1,))
 
     res = {'cape': shape(outs[0]), 'cin': shape(outs[1])}
     sol = {'lfc_pressure': shape(outs[2]), 'lfc_temperature': shape(outs[3]),
@@ -358,7 +416,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
         k += 1
     if with_profile:
         res['profile'] = {
-            name: outs[k + i][:B].reshape(batch_shape + (L + 1,))
+            name: prof(outs[k + i])
             for i, name in enumerate(
                 ('pressure', 'temperature', 'environment_temperature'))}
     return res, sol

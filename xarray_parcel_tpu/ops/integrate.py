@@ -13,12 +13,15 @@ indexed by gap and NaN-marked when absent.
 
 import jax.numpy as jnp
 
+from ._axis import axis_index, edge_slicers
 from .intersect import find_intersections
 from .safe import safe_log
 
 
-def trapz(y, x, mask=None, only_positive=False, only_negative=False):
-    """NaN-skipping trapezoidal integral of ``y`` against ``x`` along axis -1.
+def trapz(y, x, mask=None, only_positive=False, only_negative=False,
+          axis=-1):
+    """NaN-skipping trapezoidal integral of ``y`` against ``x`` along the
+    level axis (-1 by default, 0 for the kernel's columns-on-lanes layout).
 
     ``mask`` (…, L-1) selects which gaps contribute; ``only_positive`` /
     ``only_negative`` keep only gaps whose area has that sign (used for the
@@ -28,8 +31,9 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False):
     selection integrates to 0.
     """
     assert not (only_positive and only_negative)
-    y0, y1 = y[..., :-1], y[..., 1:]
-    x0, x1 = x[..., :-1], x[..., 1:]
+    lo, hi = edge_slicers(axis)
+    y0, y1 = lo(y), hi(y)
+    x0, x1 = lo(x), hi(x)
     # Select-then-compute (not compute-then-NaN): gap areas touched by a
     # NaN level are excluded by mask, and the arithmetic never sees the
     # NaN sentinels — keeps reverse-mode gradients finite.
@@ -42,11 +46,11 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False):
         sel = sel & (areas > 0)
     if only_negative:
         sel = sel & (areas < 0)
-    return jnp.sum(jnp.where(sel, areas, 0.0), axis=-1)
+    return jnp.sum(jnp.where(sel, areas, 0.0), axis=axis)
 
 
 def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
-                      log_x_values=None):
+                      log_x_values=None, axis=-1):
     """Rectangle areas hugging each zero crossing of ``y`` along ``x``.
 
     ``intersections``: optional precomputed crossing set for the SAME curves
@@ -67,7 +71,12 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         (the caller exponentiates, as the reference's cape_cin_base does).
       * gap_mask: (…, L-1) boolean — False for gaps containing a crossing,
         for use as the trapz mask (no double counting).
+
+    ``axis``: level axis, -1 (default) or 0 (the kernel's columns-on-lanes
+    layout; ``start`` must then be 0).
     """
+    assert axis == -1 or start == 0, 'start requires the default level axis'
+    lo, hi = edge_slicers(axis)
     xs = x[..., start:] if start else x
     ys = y[..., start:] if start else y
 
@@ -75,7 +84,8 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         assert start == 0, 'precomputed intersections require start=0'
         ints = intersections
     else:
-        ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x)
+        ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x,
+                                  axis=axis)
     if log_x:
         zx = ints.get('all_logx')
         if zx is None:
@@ -110,12 +120,13 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
                 jnp.where(keep, jnp.abs(dx), jnp.nan))
 
     # Before-rectangles anchor at level k of gap k; after-rectangles at k+1.
-    area_b, pos_b, dx_b = rects(xl[..., :-1], ys[..., :-1])
-    area_a, pos_a, dx_a = rects(xl[..., 1:], ys[..., 1:])
+    area_b, pos_b, dx_b = rects(lo(xl), lo(ys))
+    area_a, pos_a, dx_a = rects(hi(xl), hi(ys))
 
-    area = jnp.concatenate([area_b, area_a], axis=-1)
-    pos = jnp.concatenate([pos_b, pos_a], axis=-1)
-    dx = jnp.concatenate([dx_b, dx_a], axis=-1)
+    dim = axis_index(axis, area_b.ndim)
+    area = jnp.concatenate([area_b, area_a], axis=dim)
+    pos = jnp.concatenate([pos_b, pos_a], axis=dim)
+    dx = jnp.concatenate([dx_b, dx_a], axis=dim)
 
     areas = {
         'area': area,
@@ -134,5 +145,5 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         gap_mask = jnp.concatenate([lead, ~crossing], axis=-1)
     else:
         gap_mask = ~crossing
-    assert gap_mask.shape[-1] == x.shape[-1] - 1
+    assert gap_mask.shape[axis] == x.shape[axis] - 1
     return areas, gap_mask

@@ -18,12 +18,13 @@ Replaces, TPU-natively, two components of the reference:
 
 import jax.numpy as jnp
 
+from ._axis import expander as _expander
 from .reduce import nanmax, nanmin, nanmean
 from .safe import safe_log
 
 
 def interp_many(xs, coords, at, extrapolate=False, log=False,
-                log_coords=None):
+                log_coords=None, axis=-1):
     """Interpolate SEVERAL (…, L) variables at one per-column target ``at``
     sharing one anchor computation (the anchor selection is ~8 masked
     reductions over the level axis — the dominant cost of an interpolation —
@@ -33,15 +34,19 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
     ``linear_interp`` exactly.  Returns the same container type.
     ``log_coords``: optional precomputed ``log(coords)`` (hot-path threading;
     only used when ``log``).
+    ``axis``: level axis, -1 (default, arrays (…, L)) or 0 (arrays (L, …) —
+    the fused kernel's columns-on-lanes layout; per-column scalars then
+    broadcast against level-carrying arrays with no expansion).
     """
+    ex = _expander(axis)
     if log:
         coords = log_coords if log_coords is not None else safe_log(coords)
         at = safe_log(jnp.asarray(at))
     at = jnp.asarray(at)
-    atb = at[..., None]
+    atb = ex(at)
 
-    coords_before = nanmin(coords, where=coords >= atb)
-    coords_after = nanmax(coords, where=coords <= atb)
+    coords_before = nanmin(coords, where=coords >= atb, axis=axis)
+    coords_after = nanmax(coords, where=coords <= atb, axis=axis)
 
     if extrapolate:
         extrap_below = jnp.isnan(coords_before)
@@ -49,10 +54,10 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
 
         # Second largest / second smallest coordinate values (duplicate
         # min/max coords are ignored, as in the reference).
-        cmax = nanmax(coords)
-        cmin = nanmin(coords)
-        second_lowest = nanmax(coords, where=coords != cmax[..., None])
-        second_highest = nanmin(coords, where=coords != cmin[..., None])
+        cmax = nanmax(coords, axis=axis)
+        cmin = nanmin(coords, axis=axis)
+        second_lowest = nanmax(coords, where=coords != ex(cmax), axis=axis)
+        second_highest = nanmin(coords, where=coords != ex(cmin), axis=axis)
 
         coords_before = jnp.where(extrap_below, coords_after, coords_before)
         coords_after = jnp.where(extrap_below, second_lowest, coords_after)
@@ -60,8 +65,8 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
         coords_after = jnp.where(extrap_above, coords_before, coords_after)
         coords_before = jnp.where(extrap_above, second_highest, coords_before)
 
-    mask_before = coords == coords_before[..., None]
-    mask_after = coords == coords_after[..., None]
+    mask_before = coords == ex(coords_before)
+    mask_after = coords == ex(coords_after)
     # Guarded denominator: equal anchors take the passthrough branch below,
     # but an unguarded 0/0 (or NaN/NaN for out-of-range targets) would leak
     # NaN into reverse-mode cotangents of the masked-out branch.
@@ -70,8 +75,8 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
     frac = (at - coords_before) / span
 
     def one(x):
-        x_before = nanmean(x, where=mask_before)
-        x_after = nanmean(x, where=mask_after)
+        x_before = nanmean(x, where=mask_before, axis=axis)
+        x_after = nanmean(x, where=mask_after, axis=axis)
         res = x_before + (x_after - x_before) * frac
         return jnp.where(x_before == x_after, x_before, res)
 

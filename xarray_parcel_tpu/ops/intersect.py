@@ -10,11 +10,12 @@ NaN-aware reductions in the LFC/EL solver.
 
 import jax.numpy as jnp
 
+from ._axis import edge_slicers
 from .safe import safe_exp, safe_log
 
 
 def find_intersections(x, a, b, log_x=False, log_x_values=None,
-                       log_outputs=False):
+                       log_outputs=False, axis=-1):
     """Find crossings of curves ``a`` and ``b`` sharing coords ``x`` (…, L).
 
     Returns a dict of (…, L-1) arrays: ``all_x``/``all_y`` (every crossing),
@@ -29,22 +30,26 @@ def find_intersections(x, a, b, log_x=False, log_x_values=None,
     output in LOG space — order/NaN-pattern identical, no per-gap ``exp`` —
     for consumers that only compare positions (lfc_el / cape_cin_base with
     ``intersections_in_log=True``).
+
+    ``axis``: level axis, -1 (default) or 0 (fused kernel's columns-on-lanes
+    layout); gap entry k then lives at index k of that axis.
     """
+    lo, hi = edge_slicers(axis)
     if log_x:
         x = log_x_values if log_x_values is not None else safe_log(x)
 
     sign = jnp.sign(a - b)
-    s0 = sign[..., :-1]
-    s1 = sign[..., 1:]
+    s0 = lo(sign)
+    s1 = hi(sign)
     # A NaN sign difference is treated as a crossing by the reference
     # (diffs.where(diffs == 0, other=1) maps NaN -> 1); the algebra below then
     # yields NaN coordinates, which downstream reductions skip — identical
     # net behaviour, so a plain != (True for NaN pairs) reproduces it.
     crossing = s0 != s1
 
-    x0, x1 = x[..., :-1], x[..., 1:]
-    a0, a1 = a[..., :-1], a[..., 1:]
-    b0, b1 = b[..., :-1], b[..., 1:]
+    x0, x1 = lo(x), hi(x)
+    a0, a1 = lo(a), hi(a)
+    b0, b1 = lo(b), hi(b)
 
     delta_y0 = a0 - b0
     delta_y1 = a1 - b1

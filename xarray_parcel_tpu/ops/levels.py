@@ -13,8 +13,10 @@ Fields are dicts of arrays broadcastable to (…, L); per-column scalars are
 sort coordinate (strictly decreasing with level, NaNs trailing).
 """
 
+import jax
 import jax.numpy as jnp
 
+from ._axis import axis_index, expander
 from .interp import interp_many
 from .reduce import nanmax, nanmin
 
@@ -25,7 +27,7 @@ def _broadcast_fields(fields, coord='pressure'):
     return {k: jnp.broadcast_to(v, shape) for k, v in fields.items()}
 
 
-def insert_level(fields, level, coord='pressure', lead=None):
+def insert_level(fields, level, coord='pressure', lead=None, axis=-1):
     """Insert a per-column level into pressure-sorted profiles.
 
     ``fields``: dict of (…, L) arrays including ``coord``; ``level``: dict of
@@ -46,32 +48,40 @@ def insert_level(fields, level, coord='pressure', lead=None):
     them, so the spliced column keeps its NaN prefix and stays sorted.
     ``lead`` optionally supplies that per-column leading-NaN count (argmax
     does not lower inside Pallas kernels; the fused path precomputes it).
+
+    ``axis``: level axis, -1 (default) or 0 (fused kernel's columns-on-lanes
+    layout — arrays (L, TB), per-column values (TB,)).
     """
+    ex = expander(axis)
     fields = _broadcast_fields({k: fields[k] for k in level}, coord)
     p = fields[coord]
     pl = jnp.asarray(level[coord])
-    L = p.shape[-1]
+    L = p.shape[axis]
+    dim = axis_index(axis, p.ndim)
 
     p_filled = jnp.where(jnp.isnan(p), -jnp.inf, p)
     if lead is None:
-        lead = jnp.argmax(~jnp.isnan(p), axis=-1)   # 0 if no/only leading NaN
+        lead = jnp.argmax(~jnp.isnan(p), axis=axis)  # 0 if no/only lead NaN
     lead = jnp.asarray(lead).astype(jnp.int32)
-    idx = lead + jnp.sum(p_filled >= pl[..., None], axis=-1)   # (…,) in [0, L]
+    idx = lead + jnp.sum(p_filled >= ex(pl), axis=axis)  # (…,) in [0, L]
 
-    j = jnp.arange(L + 1)
-    below = j < idx[..., None]                                  # (…, L+1)
-    at = j == idx[..., None]
+    out_shape = p.shape[:dim] + (L + 1,) + p.shape[dim + 1:]
+    # 2-D iota (1-D jnp.arange does not lower inside Pallas kernels).
+    j = jax.lax.broadcasted_iota(jnp.int32, out_shape, dim)
+    below = j < ex(idx)                                         # (…, L+1)
+    at = j == ex(idx)
 
     # out[j] = v[j] below the insertion, the level at it, v[j-1] above — two
     # static shifts + selects, no gather (TPU gathers are slow; this is the
     # whole trick that makes the splice free under XLA fusion).
     out = {}
-    nan = jnp.full(p.shape[:-1] + (1,), jnp.nan, p.dtype)
+    nan = jnp.full(p.shape[:dim] + (1,) + p.shape[dim + 1:], jnp.nan,
+                   p.dtype)
     for k in level:
         v = fields[k]
-        v_pad = jnp.concatenate([v, nan], axis=-1)      # v[j]
-        v_prev = jnp.concatenate([nan, v], axis=-1)     # v[j-1]
-        lvl = jnp.asarray(level[k])[..., None]
+        v_pad = jnp.concatenate([v, nan], axis=dim)      # v[j]
+        v_prev = jnp.concatenate([nan, v], axis=dim)     # v[j-1]
+        lvl = ex(jnp.asarray(level[k]))
         out[k] = jnp.where(below, v_pad, jnp.where(at, lvl, v_prev))
 
     # Variables at slots sourced from NaN-coordinate levels become NaN
@@ -82,9 +92,9 @@ def insert_level(fields, level, coord='pressure', lead=None):
             out[k] = jnp.where(slot_nan, jnp.nan, out[k])
 
     # NaN insertion coordinate: reference floods the column with the level.
-    flood = jnp.isnan(pl)[..., None]
+    flood = ex(jnp.isnan(pl))
     for k in out:
-        out[k] = jnp.where(flood, jnp.asarray(level[k])[..., None], out[k])
+        out[k] = jnp.where(flood, ex(jnp.asarray(level[k])), out[k])
     return out
 
 

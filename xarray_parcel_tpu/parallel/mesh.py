@@ -71,6 +71,30 @@ def shard_batch(tree, mesh, batch_dims=1):
     return jax.tree_util.tree_map(put, tree)
 
 
+def pad_batch(tree, mesh, fill=np.nan):
+    """NaN-pad every array's leading dim to a multiple of the mesh size.
+
+    XLA shardings require the sharded dim to divide evenly; real grids
+    rarely do.  Columns are independent and every op is NaN-transparent, so
+    the production recipe is pad -> shard -> compute -> slice.  Returns
+    ``(padded_tree, original_batch)``; slice outputs with ``[:original]``.
+    """
+    n = mesh.devices.size
+    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(tree)}
+    assert len(sizes) == 1, f'mixed leading-dim sizes: {sizes}'
+    b = sizes.pop()
+    pad = (-b) % n
+
+    def one(x):
+        x = np.asarray(x)
+        if not pad:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, constant_values=fill)
+
+    return jax.tree_util.tree_map(one, tree), b
+
+
 def replicate(tree, mesh):
     """device_put a pytree fully replicated (for the adiabat tables)."""
     return jax.tree_util.tree_map(

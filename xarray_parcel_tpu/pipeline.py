@@ -106,7 +106,8 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
 
 
 def conv_properties_fused(dat, ignore_nans=False, tables=None,
-                          with_attrs=False, in_kernel_li=True):
+                          with_attrs=False, in_kernel_li=True,
+                          layout='columns'):
     """``conv_properties`` on the fused-Pallas production path.
 
     Same variables, same semantics (the kernels reuse the same column
@@ -136,7 +137,7 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
             parcel_temperature=parcel['temperature'],
             parcel_dewpoint=parcel['dewpoint'],
             tables=tables, with_lifted_index=in_kernel_li,
-            with_profile=not in_kernel_li)
+            with_profile=not in_kernel_li, layout=layout)
         if not in_kernel_li:
             res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
                 'lifted_index']

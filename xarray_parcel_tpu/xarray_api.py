@@ -72,11 +72,20 @@ _LEVEL_VARS = ('pressure', 'temperature', 'specific_humidity', 'dewpoint',
 # ---------------------------------------------------------------------------
 
 _JIT_CACHE = {}
+_JIT_CACHE_MAX = 256
 
 
 def _jitted(fn, static_items=()):
+    try:
+        key = hash((fn, tuple(static_items)))
+    except TypeError:
+        # An unhashable static option (list/array value): fall back to an
+        # uncached jit — correct, just recompiled per call.
+        return jax.jit(functools.partial(fn, **dict(static_items)))
     key = (fn, tuple(static_items))
     if key not in _JIT_CACHE:
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:   # bound process lifetime use
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
         _JIT_CACHE[key] = jax.jit(functools.partial(fn,
                                                     **dict(static_items)))
     return _JIT_CACHE[key]
@@ -112,6 +121,38 @@ def _coords_of(args, batch_dims):
     return {}
 
 
+def _vert_coord_of(args, vert_dim):
+    """Vertical index-coordinate values of the first input that carries one
+    (None if no input has a vert_dim coordinate)."""
+    if vert_dim is None:
+        return None
+    for a in args:
+        if (hasattr(a, 'dims') and vert_dim in getattr(a, 'dims', ()) and
+                hasattr(a, 'coords') and vert_dim in a.coords):
+            c = a.coords[vert_dim]
+            return np.asarray(c.values if hasattr(c, 'values') else c)
+    return None
+
+
+def _vert_coord_values(vert_coord, size):
+    """Coordinate values for a ``size``-level output.
+
+    The reference keeps the vertical index coordinate on spliced outputs by
+    shifting above-insertion indices up one (reference:
+    modules/parcel_functions.py:977-988, under its increments-of-1 assert),
+    so an L+1 output of an L-level input spans min..max+1.  Without an
+    input coordinate, a fresh 0..size-1 index is attached so downstream
+    ``.sel``/``.isel`` keep working.
+    """
+    if vert_coord is not None and len(vert_coord) == size:
+        return np.asarray(vert_coord)
+    if vert_coord is not None and 0 < len(vert_coord) < size:
+        v = np.asarray(vert_coord)
+        extra = v[-1] + 1 + np.arange(size - len(v))
+        return np.concatenate([v, extra])
+    return np.arange(size)
+
+
 def _lower(a, vert_dim, batch_dims):
     """One DataArray (or array) -> ndarray, batch dims leading in the shared
     order, vertical dim trailing."""
@@ -126,18 +167,21 @@ def _lower(a, vert_dim, batch_dims):
 
 
 def _lift(result, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
-          descriptions=None):
+          descriptions=None, vert_coord=None):
     """Dict of (batch…[, L]) arrays -> Dataset with reference attrs.
 
     Arrays with one more axis than the batch get ``vert_dim`` as their
-    trailing dim (profile tracks; the size may be L+1 after an LCL splice,
-    so no vertical coordinate is attached).
+    trailing dim (profile tracks) and a vertical index coordinate: the
+    input's, extended by one for L+1 (LCL-spliced) outputs, or a fresh
+    0..L-1 index (see :func:`_vert_coord_values`).
     """
     data_vars = {}
+    vert_size = None
     for name, arr in result.items():
         arr = np.asarray(jax.device_get(arr))
         if arr.ndim == len(batch_dims) + 1:
             dims = batch_dims + (vert_dim,)
+            vert_size = arr.shape[-1]
         else:
             dims = batch_dims[:arr.ndim]
         attrs = attrs_for(name)
@@ -145,20 +189,27 @@ def _lift(result, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
             attrs['description'] = descriptions[name]
         data_vars[name] = (dims, arr, attrs)
     ds = xr.Dataset(data_vars)
-    if coords:
-        ds = ds.assign_coords({k: v for k, v in coords.items()
-                               if k in ds.dims})
+    assign = {k: v for k, v in (coords or {}).items() if k in ds.dims}
+    if vert_size is not None:
+        assign[vert_dim] = _vert_coord_values(vert_coord, vert_size)
+    if assign:
+        ds = ds.assign_coords(assign)
     return ds
 
 
 def _lift_da(arr, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
-             name=None):
+             name=None, vert_coord=None):
     """One array -> DataArray (helper for scalar-field entry points)."""
     arr = np.asarray(jax.device_get(arr))
+    vert_size = None
     if arr.ndim == len(batch_dims) + 1:
         dims = batch_dims + (vert_dim,)
+        vert_size = arr.shape[-1]
     else:
         dims = batch_dims[:arr.ndim]
+    if vert_size is not None:
+        coords = dict(coords or {})
+        coords[vert_dim] = _vert_coord_values(vert_coord, vert_size)
     da = xr.DataArray(arr, dims=dims, attrs=attrs_for(name) if name else {},
                       name=name)
     if coords and hasattr(da, 'assign_coords'):
@@ -302,7 +353,8 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     out = run(low[0], low[1], low[2], low[3],
               tables=_resolve_tables(tables))
     return _lift(out, batch_dims, vert_dim=vert_dim,
-                 coords=_coords_of(args, batch_dims))
+                 coords=_coords_of(args, batch_dims),
+                 vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
@@ -320,7 +372,8 @@ def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
                   (('lcl_interp', lcl_interp), ('moist_lapse', moist_lapse)))
     out = run(*low, tables=_resolve_tables(tables))
     return _lift(out, batch_dims, vert_dim=vert_dim,
-                 coords=_coords_of(args, batch_dims))
+                 coords=_coords_of(args, batch_dims),
+                 vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
@@ -349,7 +402,8 @@ def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
                        tables=_resolve_tables(tables))
     coords = _coords_of(args, batch_dims)
     return (_lift(res, batch_dims, coords=coords),
-            _lift(profile, batch_dims, vert_dim=vert_dim, coords=coords))
+            _lift(profile, batch_dims, vert_dim=vert_dim, coords=coords,
+                  vert_coord=_vert_coord_of(args, vert_dim)))
 
 
 def _cape_variant(core, res_extras):
@@ -372,7 +426,9 @@ def _cape_variant(core, res_extras):
         desc = res_extras(kwargs)
         res = _lift(_rename(res, prefix, ('cape', 'cin')), batch_dims,
                     coords=coords, descriptions=desc)
-        lifted = tuple(_lift(r, batch_dims, vert_dim=vert_dim, coords=coords)
+        vc = _vert_coord_of(args, vert_dim)
+        lifted = tuple(_lift(r, batch_dims, vert_dim=vert_dim, coords=coords,
+                             vert_coord=vc)
                        for r in rest)
         return (res,) + lifted
     return wrapper
@@ -483,7 +539,8 @@ def wet_bulb_temperature(pressure, temperature, dewpoint,
     out = run(*low, tables=_resolve_tables(tables))
     return _lift_da(out, batch_dims, vert_dim=vert_dim,
                     coords=_coords_of(args, batch_dims),
-                    name='wet_bulb_temperature')
+                    name='wet_bulb_temperature',
+                    vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def wet_bulb_temperature_fast(temperature, dewpoint):
@@ -587,7 +644,8 @@ def dry_lapse(pressure, parcel_temperature, parcel_pressure=None,
     out = _jitted(_api.dry_lapse)(low[0], low[1]) if low[2] is None else \
         _jitted(_api.dry_lapse)(low[0], low[1], low[2])
     return _lift_da(out, batch_dims, vert_dim=vert_dim,
-                    coords=_coords_of(args, batch_dims), name='temperature')
+                    coords=_coords_of(args, batch_dims), name='temperature',
+                    vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
@@ -604,7 +662,8 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
         out = _jitted(adiabat.moist_lapse)(low[0], low[1], low[2],
                                            tables=tables)
     return _lift_da(out, batch_dims, vert_dim=vert_dim,
-                    coords=_coords_of(args, batch_dims), name='temperature')
+                    coords=_coords_of(args, batch_dims), name='temperature',
+                    vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def mixing_ratio(temperature, dewpoint, pressure):
@@ -629,3 +688,152 @@ def virtual_temperature(temperature, mixing_ratio, epsilon=0.608):
     return _lift_da(run(*low), batch_dims,
                     coords=_coords_of(args, batch_dims),
                     name='virtual_temperature')
+
+
+# ---------------------------------------------------------------------------
+# Ops-level surface: the reference exposes ALL its building blocks as xarray
+# functions (reference: modules/parcel_functions.py:63-289, :933-1064,
+# :1699-1828); these wrappers complete that parity so custom diagnostics can
+# be composed from DataArrays exactly as the reference's demo notebook does.
+# ---------------------------------------------------------------------------
+
+from . import ops as _ops                              # noqa: E402
+from . import parcels as _parcels                      # noqa: E402
+
+
+def _fields_of(dat, vert_dim, names=None):
+    """Dataset/dict of DataArrays -> (fields dict, batch_dims, vert_coord,
+    coords)."""
+    if _is_dataset(dat):
+        names = names or list(dat.data_vars)
+        das = {k: dat[k] for k in names}
+    else:
+        das = dict(dat)
+    args = list(das.values())
+    batch_dims = _batch_dims_of(args, vert_dim)
+    fields = {k: _lower(v, vert_dim, batch_dims) for k, v in das.items()}
+    vc = _vert_coord_of(args, vert_dim)
+    coords = _coords_of(args, batch_dims)
+    if _is_dataset(dat):
+        # Dataset-level coords (xr_lite keeps them only on the Dataset).
+        ds_coords = getattr(dat, 'coords', {})
+        if vc is None and vert_dim in ds_coords:
+            c = ds_coords[vert_dim]
+            vc = np.asarray(c.values if hasattr(c, 'values') else c)
+        for d in batch_dims:
+            if d not in coords and d in ds_coords:
+                coords[d] = ds_coords[d]
+    return fields, batch_dims, vc, coords
+
+
+def get_layer(dat, depth=100.0, interpolate=True,
+              vert_dim=DEFAULT_VERT_DIM):
+    """Surface-based layer of the given pressure depth; with ``interpolate``
+    the layer top is added as a new level (L+1 output)
+    (reference: modules/parcel_functions.py:63-100)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    run = _jitted(_ops.get_layer, (('depth', float(depth)),
+                                   ('interpolate', bool(interpolate))))
+    return _lift(run(fields), batch_dims, vert_dim=vert_dim, coords=coords,
+                 vert_coord=vc)
+
+
+def mixed_layer(dat, depth=100.0, vert_dim=DEFAULT_VERT_DIM):
+    """Mass-weighted layer means of every non-pressure variable
+    (reference: modules/parcel_functions.py:137-162)."""
+    fields, batch_dims, _, coords = _fields_of(dat, vert_dim)
+    run = _jitted(_parcels.mixed_layer, (('depth', float(depth)),))
+    return _lift(run(fields), batch_dims, coords=coords)
+
+
+def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
+                 vert_dim=DEFAULT_VERT_DIM):
+    """Fully-mixed surface-layer parcel state
+    (reference: modules/parcel_functions.py:229-289)."""
+    args = (pressure, temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_parcels.mixed_parcel, (('depth', float(depth)),))
+    return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
+
+
+def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0,
+                         vert_dim=DEFAULT_VERT_DIM):
+    """The max-theta-e parcel in the surface layer
+    (reference: modules/parcel_functions.py:102-135)."""
+    args = (pressure, temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_parcels.most_unstable_parcel, (('depth', float(depth)),))
+    return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
+
+
+def insert_level(dat, level, coord='pressure', vert_dim=DEFAULT_VERT_DIM):
+    """Splice a per-column level into pressure-sorted profiles; the output
+    has L+1 levels and keeps a vertical index coordinate exactly as the
+    reference's reindexing does
+    (reference: modules/parcel_functions.py:933-990)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    lvl = {k: _lower(v, None, batch_dims) for k, v in
+           (level.data_vars.items() if _is_dataset(level)
+            else dict(level).items())}
+    run = _jitted(_ops.insert_level, (('coord', coord),))
+    return _lift(run(fields, lvl), batch_dims, vert_dim=vert_dim,
+                 coords=coords, vert_coord=vc)
+
+
+def find_intersections(x, a, b, log_x=False, vert_dim=DEFAULT_VERT_DIM):
+    """Crossings of two curves sharing coordinates; entry k describes the
+    crossing in gap (k, k+1), NaN where none
+    (reference: modules/parcel_functions.py:992-1064)."""
+    args = (x, a, b)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    run = _jitted(_ops.find_intersections, (('log_x', bool(log_x)),))
+    out = {k: v for k, v in run(*low).items() if k != 'all_logx'}
+    return _lift(out, batch_dims, vert_dim=vert_dim, coords=_coords_of(
+        args, batch_dims))
+
+
+def trapz(y, x, vert_dim=DEFAULT_VERT_DIM):
+    """NaN-skipping trapezoidal integral along the vertical dim
+    (reference: modules/parcel_functions.py:164-206)."""
+    args = (y, x)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    return _lift_da(_jitted(_ops.trapz)(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims), name='trapz')
+
+
+def linear_interp(x, coords, at, extrapolate=False,
+                  vert_dim=DEFAULT_VERT_DIM):
+    """Duplicate-aware linear interpolation at a per-column target
+    (reference: modules/parcel_functions.py:1758-1811)."""
+    args = (x, coords, at)
+    batch_dims = _batch_dims_of(args[:2], vert_dim)
+    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    run = _jitted(_ops.linear_interp, (('extrapolate', bool(extrapolate)),))
+    return _lift_da(run(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims), name=None)
+
+
+def log_interp(x, coords, at, extrapolate=False, vert_dim=DEFAULT_VERT_DIM):
+    """``linear_interp`` on log-transformed coordinates
+    (reference: modules/parcel_functions.py:1813-1828)."""
+    args = (x, coords, at)
+    batch_dims = _batch_dims_of(args[:2], vert_dim)
+    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    run = _jitted(_ops.log_interp, (('extrapolate', bool(extrapolate)),))
+    return _lift_da(run(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims), name=None)
+
+
+def shift_out_nans(dat, key='pressure', vert_dim=DEFAULT_VERT_DIM):
+    """Shift columns left over their leading NaNs (the reference's
+    compaction loop; parity surface — the production pipelines use
+    first-valid-index semantics instead)
+    (reference: modules/parcel_functions.py:1699-1720)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    run = _jitted(_ops.compact_left, (('key', key),))
+    return _lift(run(fields), batch_dims, vert_dim=vert_dim, coords=coords,
+                 vert_coord=vc)

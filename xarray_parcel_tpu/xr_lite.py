@@ -48,6 +48,8 @@ class DataArray:
         return np.asarray(self.values, dtype=dtype)
 
     def transpose(self, *dims):
+        if not dims:
+            dims = tuple(reversed(self.dims))   # xarray: bare transpose()
         order = [d for d in dims if d in self.dims]
         order += [d for d in self.dims if d not in order]
         axes = [self.dims.index(d) for d in order]
