@@ -20,7 +20,7 @@ import numpy as np
 
 REF_PIPELINE_COLS_PER_SEC = 225.0 / 5.17
 
-# Optional arms (XLA cape, modular pipeline, rows-layout cape, sharded
+# Optional arms (XLA cape, modular pipeline, columns-layout cape, sharded
 # cape) run until the time SPENT IN OPTIONAL ARMS exceeds this; the
 # required metrics always print.  Counting arm-time (not wall-clock since
 # process start, the round-2 mistake) means startup stalls, backend
@@ -250,17 +250,17 @@ def main():
             f'({B_pipe / sec:.3g} cols/sec)')
         return sec
 
-    def arm_cape_rows():
-        # Round-2 rows-on-sublanes kernel layout — the committed evidence
-        # for the columns-on-lanes layout win.
+    def arm_cape_columns():
+        # Columns-on-lanes kernel layout — the committed evidence that the
+        # rows default is the faster end-to-end choice (round 3).
         @jax.jit
-        def sb_rows(p, t, td):
+        def sb_cols(p, t, td):
             res, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables,
-                                                  layout='rows')
+                                                  layout='columns')
             return res['cape'], res['cin']
 
-        sec = time_fn(sb_rows, p, t, td)
-        log(f'cape (fused, rows layout): {sec:.3f}s/iter '
+        sec = time_fn(sb_cols, p, t, td)
+        log(f'cape (fused, columns layout): {sec:.3f}s/iter '
             f'({B_cape / sec:.3g} cols/sec)')
         return sec
 
@@ -295,7 +295,7 @@ def main():
 
     sec_xla = optional_arm('cape xla', arm_cape_xla)
     sec_mod = optional_arm('pipeline modular', arm_pipe_modular)
-    sec_rows = optional_arm('cape rows layout', arm_cape_rows)
+    sec_alt = optional_arm('cape columns layout', arm_cape_columns)
     sec_sharded = optional_arm('cape sharded', arm_cape_sharded)
 
     print(json.dumps({
@@ -314,8 +314,8 @@ def main():
             'pipeline_cols_per_sec_net_of_dispatch': round(pipe_rate_net, 1),
             'pipeline_modular_xla_columns_per_sec': (
                 round(B_pipe / sec_mod, 1) if sec_mod else None),
-            'surface_cape_cin_rows_layout_columns_per_sec': (
-                round(B_cape / sec_rows, 1) if sec_rows else None),
+            'surface_cape_cin_columns_layout_columns_per_sec': (
+                round(B_cape / sec_alt, 1) if sec_alt else None),
             'surface_cape_cin_sharded_columns_per_sec': (
                 round(B_cape / sec_sharded, 1) if sec_sharded else None),
             'pipeline_batch': B_pipe,

@@ -55,9 +55,8 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     real-temperature tracks (reference: :1722-1756).
 
     ``axis``: level axis.  With ``axis == 0`` (the columns-on-lanes layout:
-    arrays (L, TB), ``row`` (K, TB)) columns ride the TPU lane axis —
-    measured ~1.7x cheaper per vector op than rows-on-sublanes, because
-    L=91 lanes pad to 128 while 91 sublanes pad only to 96.
+    arrays (L, TB), ``row`` (K, TB)) columns ride the TPU lane axis — see
+    the layout note below for why this is NOT the production default.
     """
     ex = _expander(axis)
     lcl_pb = ex(lcl_p)
@@ -161,17 +160,22 @@ def _kernel(p_ref, t_ref, td_ref, row_ref, sc_ref, *out_refs, axis=-1,
         ref[:] = val
 
 
-# Layout note (measured, round 2; production default since round 3): the
-# columns-on-lanes layout — blocks (L, TB) with the column index on the TPU
-# lane axis — is ~1.7x faster than rows-on-sublanes (TB, L) on this
-# kernel's op mix: L=91 on the lane axis pads every vector op to 128 lanes
-# (~29% waste), and a (256, 91) block spans 32 (8, 128) tiles vs 24
-# transposed.  Wrapping the column program in jax.vmap over the lane axis
-# does NOT work: vmap's batching inserts axis moves whose select/bool
-# lowerings crash this Mosaic version (any vmapped select does, even
-# same-shape lax.select; unbatched selects in the same layout compile
-# fine).  Instead every column op takes an ``axis`` argument and the
-# kernel body runs with the level axis leading (axis=0).
+# Layout note (measured round 2, DECIDED round 3): a round-2 op-mix
+# microbenchmark measured the columns-on-lanes layout — blocks (L, TB)
+# with the column index on the TPU lane axis — at ~1.7x faster per vector
+# op (L=91 lanes pads to 128, ~29% waste; 24 tiles vs 32 per op).  Round 3
+# built it (every column op takes an ``axis`` argument; the kernel body
+# runs with the level axis leading) and measured the FULL kernel: the lead
+# does not survive — within one process at 2^19, kernel-only rows 59.4 ms
+# vs columns 63.4 ms, and end-to-end at 2^20 rows 1.15e7 cols/s vs
+# columns 0.95e7 (transposes add ~10 ms more).  The solve's ~30 level-axis
+# reductions and concat/shift pairs are cheaper along lanes than across
+# sublanes, outweighing the per-op lane-padding waste the microbenchmark
+# (elementwise-heavy) captured.  'rows' is therefore the production
+# default; 'columns' stays as a tested option and a bench comparison arm.
+# (jax.vmap over the lane axis is NOT an alternative: vmap's batching
+# inserts axis moves whose select/bool lowerings crash this Mosaic
+# version — any vmapped select does, even same-shape lax.select.)
 
 
 def _column_outputs(p, t, td, row, scalars, axis, with_lifted_index,
@@ -203,7 +207,7 @@ def _column_outputs(p, t, td, row, scalars, axis, with_lifted_index,
 
 @functools.lru_cache(maxsize=64)
 def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
-               kwargs_items, layout='columns'):
+               kwargs_items, layout='rows'):
     """Differentiable fused core for one static configuration.
 
     Forward = the Pallas kernel; backward = VJP of the identical column
@@ -212,10 +216,11 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
     NaN-padded columns are sliced away by the caller's unpad, so the twin
     may produce NaN gradients there harmlessly.
 
-    ``layout='columns'`` (production default): inputs arrive TRANSPOSED —
-    p/t/td (L, BP), row (K, BP), scalars (7, BP) — and blocks are (L, TB)
-    with columns riding the lane axis (see the layout note above).
-    ``layout='rows'``: the round-2 (TB, L) blocks over (BP, L) inputs.
+    ``layout='rows'`` (production default, measured faster — see the
+    layout note above): (TB, L) blocks over (BP, L) inputs.
+    ``layout='columns'``: inputs arrive TRANSPOSED — p/t/td (L, BP), row
+    (K, BP), scalars (7, BP) — and blocks are (L, TB) with columns riding
+    the lane axis.
     """
     kwargs = dict(kwargs_items)
     n_scalar = 7 if with_lifted_index else 6
@@ -299,7 +304,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                    parcel_temperature=None, parcel_dewpoint=None,
                    tables=None, block_columns=256, interpret=None,
                    with_lifted_index=False, with_profile=False,
-                   layout='columns', **kwargs):
+                   layout='rows', **kwargs):
     """CAPE/CIN for an arbitrary parcel via the fused Pallas kernel.
 
     Drop-in for ``cape.cape_cin`` when only the CAPE/CIN numbers, LFC/EL
@@ -309,9 +314,10 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     matching the input batch shape.
 
     ``interpret`` defaults to True off-TPU so the same code runs under the
-    CPU test harness.  ``layout``: 'columns' (default — (L, TB) blocks,
-    columns on the TPU lane axis, measured ~1.7x faster) or 'rows' (the
-    round-2 (TB, L) blocks, kept for comparison benchmarks).
+    CPU test harness.  ``layout``: 'rows' (default — (TB, L) blocks;
+    measured faster end-to-end than 'columns' despite the columns
+    layout's per-op tiling advantage, see the layout note above) or
+    'columns' ((L, TB) blocks, columns on the TPU lane axis).
     """
     assert layout in ('columns', 'rows')
     if tables is None:
@@ -396,9 +402,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                       bool(with_lifted_index), bool(with_profile),
                       tuple(sorted(kwargs.items())), layout)
     if layout == 'columns':
-        # One (BP, L) -> (L, BP) transpose per input: a single pass over
-        # HBM (~0.5 ms at 2^18 columns), repaid many times over by the
-        # ~1.7x cheaper per-op tiling inside the kernel.
+        # One (BP, L) -> (L, BP) transpose per input (a single HBM pass).
         outs = core(p.T, t.T, td.T, row.T, scalars.T)
         shape = lambda x: x[0, :B].reshape(batch_shape)
         prof = lambda x: x[:, :B].T.reshape(batch_shape + (L + 1,))

@@ -107,7 +107,7 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
 
 def conv_properties_fused(dat, ignore_nans=False, tables=None,
                           with_attrs=False, in_kernel_li=True,
-                          layout='columns'):
+                          layout='rows'):
     """``conv_properties`` on the fused-Pallas production path.
 
     Same variables, same semantics (the kernels reuse the same column
