@@ -396,3 +396,43 @@ def wind_shear_column(su, sv, wu, wv, height, shear_height=6000.0):
     return {'shear_u': du, 'shear_v': dv,
             'shear_magnitude': np.hypot(du, dv),
             'positive_shear': bool(np.hypot(hu, hv) > np.hypot(su, sv))}
+
+
+def lapse_rate_column(p, t, h, from_p=700.0, to_p=500.0):
+    """Environmental lapse rate [K/km] between two isobars
+    (reference :2102-2135)."""
+    p = np.asarray(p, float)
+    t_from = log_interp_point(np.asarray(t, float), p, from_p)
+    h_from = log_interp_point(np.asarray(h, float), p, from_p)
+    t_to = log_interp_point(np.asarray(t, float), p, to_p)
+    h_to = log_interp_point(np.asarray(h, float), p, to_p)
+    return (t_to - t_from) / ((h_to - h_from) / 1000.0)
+
+
+def isobar_temperature_column(p, t, isobar=500.0):
+    """Temperature at an isobar (reference :2193-2214)."""
+    return log_interp_point(np.asarray(t, float), np.asarray(p, float),
+                            isobar)
+
+
+def freezing_level_height_column(t, h):
+    """Height of the lowest 0 C crossing of ``t`` against ``h``
+    (reference :2137-2160): linear crossing position in each sign-change
+    gap, minimum over gaps."""
+    t = np.asarray(t, float)
+    h = np.asarray(h, float)
+    d = t - 273.15
+    xs = []
+    for i in range(len(t) - 1):
+        if np.sign(d[i]) != np.sign(d[i + 1]) and np.isfinite(d[i]) and \
+           np.isfinite(d[i + 1]):
+            xs.append((d[i + 1] * h[i] - d[i] * h[i + 1]) /
+                      (d[i + 1] - d[i]))
+    return min(xs) if xs else np.nan
+
+
+def melting_level_height_fast_column(t, td, h):
+    """Height of the 0 C fast-wet-bulb isotherm (reference :2162-2191)."""
+    wb = np.asarray(t, float) - (np.asarray(t, float) -
+                                 np.asarray(td, float)) / 3.0
+    return freezing_level_height_column(wb, np.asarray(h, float))

@@ -159,3 +159,36 @@ def test_wind_shear_vs_serial(grid, winds):
             for k in ('shear_u', 'shear_v', 'shear_magnitude'):
                 assert abs(out[k][i, j] - ref[k]) < 1e-6, (k, i, j)
             assert bool(out['positive_shear'][i, j]) == ref['positive_shear']
+
+
+def test_height_diagnostics_vs_serial(grid):
+    """Lapse rate, T500, freezing and (fast) melting level — the rest of
+    the reference's serial comparison set (reference:
+    modules/parcel_test.py:276-414)."""
+    p, t, td = grid
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    lapse = np.asarray(jax.jit(diag.lapse_rate)(
+        jnp.asarray(p), jnp.asarray(t), jnp.asarray(h)))
+    t500 = np.asarray(jax.jit(
+        lambda p, t: diag.isobar_temperature(p, t, 500.0))(
+            jnp.asarray(p), jnp.asarray(t)))
+    flh = np.asarray(jax.jit(diag.freezing_level_height)(
+        jnp.asarray(t), jnp.asarray(h)))
+    mlh = np.asarray(jax.jit(
+        lambda p, t, td, h: diag.melting_level_height(p, t, td, h,
+                                                      fast=True)[0])(
+        jnp.asarray(p), jnp.asarray(t), jnp.asarray(td), jnp.asarray(h)))
+    ny, nx, _ = p.shape
+    for i in range(ny):
+        for j in range(nx):
+            assert abs(lapse[i, j] - oracle.lapse_rate_column(
+                p[i, j], t[i, j], h[i, j])) < 1e-8
+            assert abs(t500[i, j] - oracle.isobar_temperature_column(
+                p[i, j], t[i, j])) < 1e-8
+            ref = oracle.freezing_level_height_column(t[i, j], h[i, j])
+            assert (np.isnan(flh[i, j]) and np.isnan(ref)) or \
+                abs(flh[i, j] - ref) < 1e-6, (i, j)
+            ref = oracle.melting_level_height_fast_column(
+                t[i, j], td[i, j], h[i, j])
+            assert (np.isnan(mlh[i, j]) and np.isnan(ref)) or \
+                abs(mlh[i, j] - ref) < 1e-6, (i, j)
