@@ -118,3 +118,34 @@ def test_stream_map_empty_batch():
     dat = {'pressure': np.zeros((0, 10)), 'temperature': np.zeros((0, 10))}
     out = stream_map(lambda d: {'x': d['pressure'][..., 0] * 2}, dat)
     assert out['x'].shape == (0,)
+
+
+def test_pad_batch_uneven_rounds_up_and_slices():
+    """pad -> shard -> compute -> slice is the production recipe for
+    batches that do not divide the mesh (XLA shardings require
+    divisibility); padded columns are NaN and so produce NaN outputs."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from xarray_parcel_tpu.parallel import make_mesh, pad_batch, shard_batch
+
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    tree = {'a': np.arange(35.0 * 4).reshape(35, 4),
+            'b': np.arange(35.0)}
+    padded, b = pad_batch(tree, mesh)
+    assert b == 35
+    assert padded['a'].shape == (40, 4) and padded['b'].shape == (40,)
+    assert np.isnan(padded['a'][35:]).all()
+    np.testing.assert_array_equal(padded['a'][:35], tree['a'])
+
+    sh = shard_batch(padded, mesh)          # divisible now: must not raise
+    out = jax.jit(lambda d: d['a'].sum(-1) + d['b'])(sh)
+    ref = tree['a'].sum(-1) + tree['b']
+    np.testing.assert_allclose(np.asarray(out)[:b], ref)
+    assert np.isnan(np.asarray(out)[b:]).all()
+
+    # Already-divisible batches pass through unchanged.
+    tree2 = {'a': np.ones((16, 3))}
+    padded2, b2 = pad_batch(tree2, mesh)
+    assert b2 == 16 and padded2['a'].shape == (16, 3)
