@@ -22,8 +22,9 @@ import jax.numpy as jnp
 
 from . import constants as c
 from .ops import (find_intersections, nanmax, nanmin, nansum, safe_exp,
-                  safe_log, trap_around_zeros, trapz)
-from .ops._axis import axis_index, expander
+                  safe_log, trap_around_zeros)
+from .ops._axis import axis_index, edge_slicers, expander
+from .ops.integrate import gap_areas, select_areas
 from .profile import parcel_profile_with_lcl
 
 
@@ -188,26 +189,32 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     area_x = areas['x']                        # log-pressure positions
     area = areas['area']
 
+    # Trapezoid areas computed ONCE from the unmasked tracks; the CAPE and
+    # CIN windows then select gaps whose BOTH endpoints lie in-window —
+    # identical to trapz over the NaN-masked copies (a gap survived that
+    # masking iff both endpoints were in-window and non-NaN) at half the
+    # per-level arithmetic.
+    lo, hi = edge_slicers(axis)
+    t_area, t_valid = gap_areas(diff, log_p, axis=axis)
+
     # CAPE: positive buoyancy between LFC and EL.
     in_cape = (log_p <= lfc_lp) & (log_p >= el_lp)
-    diff_cape = jnp.where(in_cape, diff, jnp.nan)
-    lp_cape = jnp.where(in_cape, log_p, jnp.nan)
     a_cape = (area_x <= lfc_lp) & (area_x >= el_lp)
     if pos_cape_neg_cin:
         a_cape = a_cape & (area > 0)
-    cape = c.Rd * trapz(diff_cape, lp_cape, mask=gap_mask,
-                        only_positive=pos_cape_neg_cin, axis=axis)
+    cape = c.Rd * select_areas(t_area, t_valid & lo(in_cape) & hi(in_cape),
+                               mask=gap_mask,
+                               only_positive=pos_cape_neg_cin, axis=axis)
     cape = cape + c.Rd * nansum(area, where=a_cape, axis=axis)
 
     # CIN: negative buoyancy between surface and LFC.
     in_cin = log_p >= lfc_lp
-    diff_cin = jnp.where(in_cin, diff, jnp.nan)
-    lp_cin = jnp.where(in_cin, log_p, jnp.nan)
     a_cin = area_x >= lfc_lp
     if pos_cape_neg_cin:
         a_cin = a_cin & (area < 0)
-    cin = c.Rd * trapz(diff_cin, lp_cin, mask=gap_mask,
-                       only_negative=pos_cape_neg_cin, axis=axis)
+    cin = c.Rd * select_areas(t_area, t_valid & lo(in_cin) & hi(in_cin),
+                              mask=gap_mask,
+                              only_negative=pos_cape_neg_cin, axis=axis)
     cin = cin + c.Rd * nansum(area, where=a_cin, axis=axis)
 
     if post_zero_cin:

@@ -18,6 +18,42 @@ from .intersect import find_intersections
 from .safe import safe_log
 
 
+def gap_areas(y, x, axis=-1):
+    """Per-gap trapezoid areas of ``y`` against ``x`` (no reduction).
+
+    Returns ``(areas, valid)`` of shape (…, L-1): the |dx|·mean(y) area of
+    each gap, and whether both of its endpoints are non-NaN in both arrays.
+    Areas of invalid gaps are computed on zero dummies (finite, gradient-
+    clean) and must be excluded by the caller's selection.
+
+    Computing areas ONCE per track pair lets ``cape_cin_base`` integrate the
+    CAPE and CIN windows as two masked sums over the same gap set instead of
+    re-running the trapezoid arithmetic on two NaN-masked copies.
+    """
+    lo, hi = edge_slicers(axis)
+    y0, y1 = lo(y), hi(y)
+    x0, x1 = lo(x), hi(x)
+    # Select-then-compute (not compute-then-NaN): gap areas touched by a
+    # NaN level are excluded by the selection, and the arithmetic never sees
+    # the NaN sentinels — keeps reverse-mode gradients finite.
+    valid = ~(jnp.isnan(y0) | jnp.isnan(y1) | jnp.isnan(x0) | jnp.isnan(x1))
+    dx = jnp.abs(jnp.where(valid, x1 - x0, 0.0))
+    means = 0.5 * (jnp.where(valid, y0, 0.0) + jnp.where(valid, y1, 0.0))
+    return dx * means, valid
+
+
+def select_areas(areas, valid, mask=None, only_positive=False,
+                 only_negative=False, axis=-1):
+    """Masked sum over a precomputed ``gap_areas`` set (trapz's back half)."""
+    assert not (only_positive and only_negative)
+    sel = valid if mask is None else (valid & mask)
+    if only_positive:
+        sel = sel & (areas > 0)
+    if only_negative:
+        sel = sel & (areas < 0)
+    return jnp.sum(jnp.where(sel, areas, 0.0), axis=axis)
+
+
 def trapz(y, x, mask=None, only_positive=False, only_negative=False,
           axis=-1):
     """NaN-skipping trapezoidal integral of ``y`` against ``x`` along the
@@ -30,23 +66,9 @@ def trapz(y, x, mask=None, only_positive=False, only_negative=False,
     Matches xarray ``.sum`` semantics: NaN gaps are skipped, an empty
     selection integrates to 0.
     """
-    assert not (only_positive and only_negative)
-    lo, hi = edge_slicers(axis)
-    y0, y1 = lo(y), hi(y)
-    x0, x1 = lo(x), hi(x)
-    # Select-then-compute (not compute-then-NaN): gap areas touched by a
-    # NaN level are excluded by mask, and the arithmetic never sees the
-    # NaN sentinels — keeps reverse-mode gradients finite.
-    valid = ~(jnp.isnan(y0) | jnp.isnan(y1) | jnp.isnan(x0) | jnp.isnan(x1))
-    dx = jnp.abs(jnp.where(valid, x1 - x0, 0.0))
-    means = 0.5 * (jnp.where(valid, y0, 0.0) + jnp.where(valid, y1, 0.0))
-    areas = dx * means
-    sel = valid if mask is None else (valid & mask)
-    if only_positive:
-        sel = sel & (areas > 0)
-    if only_negative:
-        sel = sel & (areas < 0)
-    return jnp.sum(jnp.where(sel, areas, 0.0), axis=axis)
+    areas, valid = gap_areas(y, x, axis=axis)
+    return select_areas(areas, valid, mask=mask, only_positive=only_positive,
+                        only_negative=only_negative, axis=axis)
 
 
 def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,

@@ -19,17 +19,26 @@ def _mask(x, where):
 
 
 def nanmax(x, where=None, axis=-1):
-    """Max over axis skipping NaN (and ~where); NaN where nothing is valid."""
+    """Max over axis skipping NaN (and ~where); NaN where nothing is valid.
+
+    Assumes finite-or-NaN inputs (the library-wide contract: every value is
+    physical or the NaN sentinel): the all-invalid case is detected by the
+    ``-inf`` fill surviving the reduction — one level-axis reduction instead
+    of two (the ``jnp.any(mask)`` formulation costs a second full pass, which
+    matters inside the fused kernel where these reductions dominate).  A
+    *valid* ``-inf`` input would be misread as "nothing valid"."""
     m = _mask(x, where)
     r = jnp.max(jnp.where(m, x, -jnp.inf), axis=axis)
-    return jnp.where(jnp.any(m, axis=axis), r, jnp.nan)
+    return jnp.where(r == -jnp.inf, jnp.nan, r)
 
 
 def nanmin(x, where=None, axis=-1):
-    """Min over axis skipping NaN (and ~where); NaN where nothing is valid."""
+    """Min over axis skipping NaN (and ~where); NaN where nothing is valid.
+
+    Finite-or-NaN input contract — see ``nanmax``."""
     m = _mask(x, where)
     r = jnp.min(jnp.where(m, x, jnp.inf), axis=axis)
-    return jnp.where(jnp.any(m, axis=axis), r, jnp.nan)
+    return jnp.where(r == jnp.inf, jnp.nan, r)
 
 
 def nansum(x, where=None, axis=-1):
