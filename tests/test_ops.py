@@ -98,6 +98,32 @@ def test_trapz_and_masks():
     assert_almost_equal(float(ops.trapz(y2, x)), 0.5, 12)
 
 
+def test_gap_areas_window_selection_matches_masked_trapz():
+    # The equivalence cape_cin_base relies on: selecting gaps whose BOTH
+    # endpoints lie in a window over precomputed gap areas equals running
+    # trapz on NaN-masked track copies.
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, (5, 12)), axis=-1))
+    y = jnp.asarray(rng.normal(0, 2, (5, 12)))
+    y = y.at[0, 3].set(jnp.nan).at[2, 0].set(jnp.nan)
+    lo_w, hi_w = 2.0, 8.0
+    in_win = (x >= lo_w) & (x <= hi_w)
+
+    areas, valid = ops.gap_areas(y, x)
+    assert np.all(np.isfinite(np.asarray(areas)))  # invalid gaps -> 0, not NaN
+    assert not bool(valid[0, 2]) and not bool(valid[0, 3])
+    win_gap = in_win[:, :-1] & in_win[:, 1:]
+    for kw in ({}, {'only_positive': True}, {'only_negative': True}):
+        got = ops.select_areas(areas, valid & win_gap, **kw)
+        want = ops.trapz(jnp.where(in_win, y, jnp.nan),
+                         jnp.where(in_win, x, jnp.nan), **kw)
+        assert_array_almost_equal(np.asarray(got), np.asarray(want), 12)
+    # trapz == gap_areas + select_areas by construction
+    assert_array_almost_equal(
+        np.asarray(ops.select_areas(areas, valid)),
+        np.asarray(ops.trapz(y, x)), 12)
+
+
 def test_trap_around_zeros_rectangles():
     # y crosses zero between x=1 (y=1) and x=2 (y=-1) at x=1.5.
     x = jnp.array([0.0, 1.0, 2.0, 3.0])
