@@ -102,6 +102,7 @@ def main():
     height = dat['height_asl']
 
     arms = {
+        'null': (jax.jit(lambda x: x * 2.0), (li0,)),
         'full': (jax.jit(lambda d: pipeline.conv_properties_fused(
             d, tables=tables)), (dat,)),
         'preps': (prep_jit, (p, t, q)),
@@ -136,8 +137,13 @@ def main():
             bench.log(f'round {r} {name}: {sec * 1e3:.1f} ms')
 
     ms = {k: round(v * 1e3, 2) for k, v in best.items()}
-    ms['residual'] = round(ms['full'] - ms['preps'] - ms['solves']
-                           - ms['diags'], 2)
+    # Every arm is one program dispatch per iteration, so each measured
+    # time includes one dispatch floor (the null arm's whole cost).
+    net = {k: round(v - ms['null'], 2) for k, v in ms.items()
+           if k != 'null'}
+    ms['net_of_floor'] = net
+    ms['residual_net'] = round(net['full'] - net['preps'] - net['solves']
+                               - net['diags'], 2)
     ms['batch'] = B
     ms['full_cols_per_sec'] = round(B / best['full'], 1)
     print(json.dumps(ms))
