@@ -755,6 +755,24 @@ def test_mixed_layer():
     assert_almost_equal(f(mixed['temperature']), 16.4024930 + 273.15, 6)
 
 
+def test_mixed_layer_interior_nan_integrates_sorted_gaps():
+    # A NaN level INSIDE the mixing layer: the average integrates the
+    # sorted gap set (in-layer gaps with valid endpoints + the partial
+    # boundary gap to the log-interpolated top) — what the reference's
+    # dropna-then-splice produces.  Hand-computed expectation.
+    p = np.array([900.0, np.nan, 880.0, 870.0, 850.0])
+    v = p / 100.0
+    depth = 40.0                           # top = 860, inside gap (870, 850)
+    frac = (np.log(860.0) - np.log(870.0)) / (np.log(850.0) - np.log(870.0))
+    f_top = 8.7 + (8.5 - 8.7) * frac
+    inner = 0.5 * (8.8 + 8.7) * 10.0       # (880, 870); NaN breaks the rest
+    boundary = 0.5 * (8.7 + f_top) * 10.0  # (870, top)
+    expect = (inner + boundary) / depth
+    mixed = api.mixed_layer({'pressure': jnp.asarray(p),
+                             'v': jnp.asarray(v)}, depth=depth)
+    assert_almost_equal(f(mixed['v']), expect, 10)
+
+
 def test_mixed_layer_cape_cin():
     levels, temps, dews = multiple_intersections()
     res, _, _ = api.mixed_layer_cape_cin(levels, temps, dews, **MP)
