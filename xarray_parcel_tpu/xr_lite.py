@@ -33,6 +33,10 @@ class DataArray:
         self.name = name
 
     @property
+    def data(self):
+        return self.values    # xarray exposes both .data and .values
+
+    @property
     def ndim(self):
         return self.values.ndim
 
