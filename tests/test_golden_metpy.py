@@ -755,22 +755,43 @@ def test_mixed_layer():
     assert_almost_equal(f(mixed['temperature']), 16.4024930 + 273.15, 6)
 
 
-def test_mixed_layer_interior_nan_integrates_sorted_gaps():
-    # A NaN level INSIDE the mixing layer: the average integrates the
-    # sorted gap set (in-layer gaps with valid endpoints + the partial
-    # boundary gap to the log-interpolated top) — what the reference's
-    # dropna-then-splice produces.  Hand-computed expectation.
+def test_mixed_layer_interior_nan_bridges_gaps():
+    # A NaN level INSIDE the mixing layer is BRIDGED: the gap between the
+    # valid levels on either side of it is integrated with those endpoint
+    # values (dropna-then-trapezoid — the serial oracle's semantics), plus
+    # the partial boundary gap to the log-interpolated top.  Hand-computed.
     p = np.array([900.0, np.nan, 880.0, 870.0, 850.0])
     v = p / 100.0
     depth = 40.0                           # top = 860, inside gap (870, 850)
     frac = (np.log(860.0) - np.log(870.0)) / (np.log(850.0) - np.log(870.0))
     f_top = 8.7 + (8.5 - 8.7) * frac
-    inner = 0.5 * (8.8 + 8.7) * 10.0       # (880, 870); NaN breaks the rest
+    bridged = 0.5 * (9.0 + 8.8) * 20.0     # (900, 880) across the NaN level
+    inner = 0.5 * (8.8 + 8.7) * 10.0       # (880, 870)
     boundary = 0.5 * (8.7 + f_top) * 10.0  # (870, top)
-    expect = (inner + boundary) / depth
+    expect = (bridged + inner + boundary) / depth
     mixed = api.mixed_layer({'pressure': jnp.asarray(p),
                              'v': jnp.asarray(v)}, depth=depth)
     assert_almost_equal(f(mixed['v']), expect, 10)
+
+
+def test_mixed_layer_value_nan_at_valid_pressure_bridges_per_variable():
+    # A NaN *value* at a valid pressure level: that variable bridges the
+    # level (integrates its observed piecewise-linear curve); a fully
+    # valid variable in the same call is unaffected.
+    p = jnp.asarray([900.0, 890.0, 880.0, 870.0, 850.0])
+    v = np.array([9.0, np.nan, 8.8, 8.7, 8.5])
+    w = np.asarray(p) / 100.0
+    depth = 40.0
+    frac = (np.log(860.0) - np.log(870.0)) / (np.log(850.0) - np.log(870.0))
+    f_top = 8.7 + (8.5 - 8.7) * frac
+    expect_v = (0.5 * (9.0 + 8.8) * 20.0 + 0.5 * (8.8 + 8.7) * 10.0 +
+                0.5 * (8.7 + f_top) * 10.0) / depth
+    expect_w = (0.5 * (9.0 + 8.9) * 10.0 + 0.5 * (8.9 + 8.8) * 10.0 +
+                0.5 * (8.8 + 8.7) * 10.0 + 0.5 * (8.7 + f_top) * 10.0) / depth
+    mixed = api.mixed_layer({'pressure': p, 'v': jnp.asarray(v),
+                             'w': jnp.asarray(w)}, depth=depth)
+    assert_almost_equal(f(mixed['v']), expect_v, 10)
+    assert_almost_equal(f(mixed['w']), expect_w, 10)
 
 
 def test_mixed_layer_cape_cin():

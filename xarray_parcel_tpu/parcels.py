@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from . import thermo
 from .cape import cape_cin
-from .ops import gap_areas, get_layer, insert_level, interp_many, nanmax
+from .ops import get_layer, insert_level, interp_many, nanmax
 
 
 def mixed_layer(fields, depth=100.0):
@@ -21,15 +21,27 @@ def mixed_layer(fields, depth=100.0):
     surface-based layer of the given depth
     (reference: modules/parcel_functions.py:137-162).
 
-    Direct per-gap integration: trapezoid gaps with both endpoints inside
-    the layer, plus a partial boundary gap from the last in-layer level to
-    the log-interpolated layer top — the same integral
-    ``get_layer(interpolate=True)`` + ``trapz`` computes, without
-    materialising the spliced (…, L+1) column (the splice costs ~25
-    full-field passes; measured 8.6 ms of the fused pipeline's 14 ms XLA
-    prep at 2^18, benchmarks/prep_breakdown.py).  For layers carrying an
-    interior NaN this integrates the sorted gap set (what the reference's
-    dropna-then-splice produces) rather than the unsorted-splice overlap.
+    Direct per-gap integration: trapezoid gaps between consecutive valid
+    in-layer levels, plus a partial boundary gap from the last valid
+    in-layer level to the log-interpolated layer top — the same integral
+    dropna + ``trapz`` over the layer computes, without materialising a
+    spliced (…, L+1) column (the splice costs ~25 full-field passes;
+    measured 8.6 ms of the fused pipeline's 14 ms XLA prep at 2^18,
+    benchmarks/prep_breakdown.py).
+
+    Interior-NaN levels are BRIDGED: a gap whose endpoints are the valid
+    levels on either side of a NaN run is integrated with those endpoint
+    values (the piecewise-linear interpolant through the observed points —
+    what the serial oracle's dropna-then-trapezoid computes, per variable).
+    The reference's splice instead duplicates the inserted top level at
+    every NaN slot (insert_level's fill_value round-trip, reference
+    :960-990), leaving an unsorted pressure column whose rolling-trapz
+    double-counts overlapping spans — deviating here is deliberate.
+
+    Implementation is gather-free: with ``prev``/``next`` the neighbouring
+    valid in-layer pressures of each valid level (exclusive cumulative
+    min/max scans), the bridged trapezoid sum telescopes to
+    ``0.5 * sum_i v_i * (prev_i - next_i)`` (one-sided at the run ends).
     """
     p = fields['pressure']
     vals = {k: v for k, v in fields.items() if k != 'pressure'}
@@ -38,20 +50,16 @@ def mixed_layer(fields, depth=100.0):
     topb = top[..., None]
 
     # Field values at the layer top (shared anchors, duplicate-averaging
-    # interp — identical to the level get_layer would splice in).
+    # interp; NaN-pressure levels never become anchors, so the top value
+    # itself bridges a NaN run adjacent to the boundary).
     f_top = interp_many(vals, p, top, log=True)
 
     valid_p = ~jnp.isnan(p)
     in_layer = valid_p & (p >= topb)
-    # Last (array-order) in-layer level: the boundary gap's lower endpoint.
     j = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
-    k_star = jnp.max(jnp.where(in_layer, j, -1), axis=-1)
-    at_k = j == k_star[..., None]            # all-False when k_star == -1
-    p_k = jnp.sum(jnp.where(at_k & valid_p, p, 0.0), axis=-1)
 
-    gap_in = in_layer[..., :-1] & in_layer[..., 1:]
-    # The spliced column's pressure span is always exactly ``depth`` (the
-    # top level is inserted at bottom - depth); NaN when the column is.
+    # The layer's pressure span is always exactly ``depth`` (the boundary
+    # gap ends at bottom - depth); NaN when the column is.
     inv_depth = jnp.where(jnp.isnan(bottom), jnp.nan, 1.0 / depth)
     # NaN top (all-NaN column) must not enter the boundary arithmetic: the
     # masked-out branch of a multiply still poisons reverse-mode cotangents
@@ -60,12 +68,38 @@ def mixed_layer(fields, depth=100.0):
 
     out = {}
     for k, v in vals.items():
-        areas, valid_g = gap_areas(v, p)
-        inner = jnp.sum(jnp.where(valid_g & gap_in, areas, 0.0), axis=-1)
-        sel_k = at_k & ~jnp.isnan(v) & valid_p
-        f_k = jnp.sum(jnp.where(sel_k, v, 0.0), axis=-1)
+        m = in_layer & ~jnp.isnan(v)
+        p_own = jnp.where(m, p, 0.0)         # finite dummies throughout
+        v_own = jnp.where(m, v, 0.0)
+
+        # Previous valid in-layer pressure: pressures decrease along the
+        # axis, so the most recent valid p before i is the running minimum
+        # (exclusive).  +inf marks "no previous" -> one-sided (own p).
+        run_min = jax.lax.cummin(jnp.where(m, p, jnp.inf), axis=p.ndim - 1)
+        prev_raw = jnp.concatenate(
+            [jnp.full_like(run_min[..., :1], jnp.inf), run_min[..., :-1]],
+            axis=-1)
+        prev_p = jnp.where(m & jnp.isfinite(prev_raw), prev_raw, p_own)
+
+        # Next valid in-layer pressure: running maximum from the right
+        # (exclusive).  -inf marks "no next" -> one-sided (own p); the
+        # boundary gap to the interpolated top covers the rest.
+        run_max = jax.lax.cummax(jnp.where(m, p, -jnp.inf),
+                                 axis=p.ndim - 1, reverse=True)
+        next_raw = jnp.concatenate(
+            [run_max[..., 1:], jnp.full_like(run_max[..., :1], -jnp.inf)],
+            axis=-1)
+        next_p = jnp.where(m & jnp.isfinite(next_raw), next_raw, p_own)
+
+        inner = 0.5 * jnp.sum(v_own * (prev_p - next_p), axis=-1)
+
+        # Boundary gap: last valid in-layer level (per variable) -> top.
+        k_star = jnp.max(jnp.where(m, j, -1), axis=-1)
+        at_k = (j == k_star[..., None]) & m  # all-False when k_star == -1
+        f_k = jnp.sum(jnp.where(at_k, v, 0.0), axis=-1)
+        p_k = jnp.sum(jnp.where(at_k, p, 0.0), axis=-1)
         ft = f_top[k]
-        b_ok = jnp.any(sel_k, axis=-1) & ~jnp.isnan(ft)
+        b_ok = jnp.any(at_k, axis=-1) & ~jnp.isnan(ft)
         b_area = (0.5 * (f_k + jnp.where(b_ok, ft, 0.0))
                   * jnp.abs(p_k - safe_top))
         out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv_depth
