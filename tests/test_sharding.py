@@ -149,3 +149,24 @@ def test_pad_batch_uneven_rounds_up_and_slices():
     tree2 = {'a': np.ones((16, 3))}
     padded2, b2 = pad_batch(tree2, mesh)
     assert b2 == 16 and padded2['a'].shape == (16, 3)
+
+
+def test_pad_batch_integer_and_bool_leaves_pad_with_zero():
+    """Ingest trees carry int/bool fields (station ids, masks); NaN has no
+    representation there, so they pad with zero — the padded rows are
+    sliced off by the recipe regardless."""
+    import jax
+    import numpy as np
+
+    from xarray_parcel_tpu.parallel import make_mesh, pad_batch
+
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    tree = {'cape': np.ones(35), 'station': np.arange(35, dtype=np.int32),
+            'mask': np.ones(35, dtype=bool)}
+    padded, b = pad_batch(tree, mesh)
+    assert b == 35
+    assert padded['station'].dtype == np.int32
+    assert padded['mask'].dtype == bool
+    assert (padded['station'][35:] == 0).all()
+    assert (~padded['mask'][35:]).all()
+    assert np.isnan(padded['cape'][35:]).all()

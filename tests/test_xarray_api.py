@@ -409,3 +409,44 @@ def test_profile_outputs_carry_vert_coord(dat_dew):
     assert len(vc) == len(in_vc) + 1          # LCL splice adds one level
     np.testing.assert_array_equal(vc[:-1], in_vc)
     assert vc[-1] == in_vc[-1] + 1
+
+
+def test_ops_wrappers_subset_to_level_vars(dat):
+    # A full input Dataset carries surface (non-level) variables; the
+    # ops-level wrappers operate on the level-carrying subset instead of
+    # crashing on the shape mismatch.
+    gl = xarray_api.get_layer(dat, depth=100.0)
+    assert 'surface_wind_u' not in gl.data_vars
+    assert gl['pressure'].values.shape[-1] == \
+        dat['pressure'].values.shape[-1] + 1
+    ml = xarray_api.mixed_layer(dat, depth=100.0)
+    assert 'surface_wind_u' not in ml.data_vars
+    assert np.isfinite(_vals(ml['temperature'])).all()
+    # Explicit selection still works.
+    ml2 = xarray_api.mixed_layer(dat, depth=100.0,
+                                 names=['pressure', 'temperature'])
+    assert sorted(ml2.data_vars) == ['temperature']
+    np.testing.assert_allclose(_vals(ml2['temperature']),
+                               _vals(ml['temperature']))
+    with pytest.raises(ValueError, match='vertical dim'):
+        xarray_api.mixed_layer(dat, vert_dim='no_such_dim')
+
+
+def test_spliced_vert_coord_follows_input_step(dat_dew):
+    # Descending / non-unit vertical index coordinates extend by their own
+    # step on L+1 outputs, staying monotonic and duplicate-free.
+    dims = dat_dew['pressure'].dims
+    L = dat_dew['pressure'].values.shape[-1]
+    for vc_in in (np.arange(L, 0, -1), np.arange(0, 10 * L, 10)):
+        def with_vc(name):
+            return xr.DataArray(_vals(dat_dew[name]), dims=dims,
+                                coords={'model_level_number': vc_in})
+        gl = xarray_api.get_layer(
+            {'pressure': with_vc('pressure'),
+             'temperature': with_vc('temperature')}, depth=100.0)
+        vc = gl.coords['model_level_number']
+        vc = np.asarray(vc.values if hasattr(vc, 'values') else vc)
+        assert len(vc) == L + 1
+        np.testing.assert_array_equal(vc[:-1], vc_in)
+        assert vc[-1] == vc_in[-1] + (vc_in[-1] - vc_in[-2])
+        assert len(np.unique(vc)) == L + 1

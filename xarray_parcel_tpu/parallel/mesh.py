@@ -72,11 +72,14 @@ def shard_batch(tree, mesh, batch_dims=1):
 
 
 def pad_batch(tree, mesh, fill=np.nan):
-    """NaN-pad every array's leading dim to a multiple of the mesh size.
+    """Pad every array's leading dim to a multiple of the mesh size.
 
     XLA shardings require the sharded dim to divide evenly; real grids
     rarely do.  Columns are independent and every op is NaN-transparent, so
-    the production recipe is pad -> shard -> compute -> slice.  Returns
+    the production recipe is pad -> shard -> compute -> slice.  Float
+    leaves pad with ``fill`` (NaN); integer/bool leaves (station ids,
+    flags) pad with zero, since NaN has no representation there and the
+    padded rows are sliced off regardless.  Returns
     ``(padded_tree, original_batch)``; slice outputs with ``[:original]``.
     """
     n = mesh.devices.size
@@ -90,7 +93,9 @@ def pad_batch(tree, mesh, fill=np.nan):
         if not pad:
             return x
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, widths, constant_values=fill)
+        value = fill if np.issubdtype(x.dtype, np.floating) else \
+            np.zeros((), x.dtype)
+        return np.pad(x, widths, constant_values=value)
 
     return jax.tree_util.tree_map(one, tree), b
 

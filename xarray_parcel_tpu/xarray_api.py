@@ -148,7 +148,16 @@ def _vert_coord_values(vert_coord, size):
         return np.asarray(vert_coord)
     if vert_coord is not None and 0 < len(vert_coord) < size:
         v = np.asarray(vert_coord)
-        extra = v[-1] + 1 + np.arange(size - len(v))
+        # Continue the coordinate's own step (unit, non-unit or descending
+        # indices all stay monotonic/unique); non-numeric or constant
+        # coordinates fall back to a fresh index.
+        try:
+            step = v[-1] - v[-2] if len(v) > 1 else 1
+        except TypeError:
+            return np.arange(size)
+        if step == 0:
+            return np.arange(size)
+        extra = v[-1] + step * np.arange(1, size - len(v) + 1)
         return np.concatenate([v, extra])
     return np.arange(size)
 
@@ -703,9 +712,21 @@ from . import parcels as _parcels                      # noqa: E402
 
 def _fields_of(dat, vert_dim, names=None):
     """Dataset/dict of DataArrays -> (fields dict, batch_dims, vert_coord,
-    coords)."""
+    coords).
+
+    Without ``names``, Dataset input is subset to the variables that carry
+    ``vert_dim`` — surface (non-level) variables riding along in the same
+    Dataset (winds, ids, masks) are not part of a vertical-column op and
+    would otherwise break the fixed-shape lowering."""
     if _is_dataset(dat):
-        names = names or list(dat.data_vars)
+        if names is None:
+            names = [k for k in dat.data_vars
+                     if vert_dim in getattr(dat[k], 'dims', ())]
+            if not names:
+                raise ValueError(
+                    f'no data variable carries the vertical dim '
+                    f'{vert_dim!r}; pass names= to select variables '
+                    f'explicitly or vert_dim= to name the level dimension')
         das = {k: dat[k] for k in names}
     else:
         das = dict(dat)
@@ -727,21 +748,23 @@ def _fields_of(dat, vert_dim, names=None):
 
 
 def get_layer(dat, depth=100.0, interpolate=True,
-              vert_dim=DEFAULT_VERT_DIM):
+              vert_dim=DEFAULT_VERT_DIM, names=None):
     """Surface-based layer of the given pressure depth; with ``interpolate``
     the layer top is added as a new level (L+1 output)
-    (reference: modules/parcel_functions.py:63-100)."""
-    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    (reference: modules/parcel_functions.py:63-100).
+    ``names``: variables to include (default: all carrying ``vert_dim``)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim, names=names)
     run = _jitted(_ops.get_layer, (('depth', float(depth)),
                                    ('interpolate', bool(interpolate))))
     return _lift(run(fields), batch_dims, vert_dim=vert_dim, coords=coords,
                  vert_coord=vc)
 
 
-def mixed_layer(dat, depth=100.0, vert_dim=DEFAULT_VERT_DIM):
-    """Mass-weighted layer means of every non-pressure variable
-    (reference: modules/parcel_functions.py:137-162)."""
-    fields, batch_dims, _, coords = _fields_of(dat, vert_dim)
+def mixed_layer(dat, depth=100.0, vert_dim=DEFAULT_VERT_DIM, names=None):
+    """Mass-weighted layer means of every non-pressure level variable
+    (reference: modules/parcel_functions.py:137-162).
+    ``names``: variables to include (default: all carrying ``vert_dim``)."""
+    fields, batch_dims, _, coords = _fields_of(dat, vert_dim, names=names)
     run = _jitted(_parcels.mixed_layer, (('depth', float(depth)),))
     return _lift(run(fields), batch_dims, coords=coords)
 
@@ -768,12 +791,14 @@ def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0,
     return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
 
 
-def insert_level(dat, level, coord='pressure', vert_dim=DEFAULT_VERT_DIM):
+def insert_level(dat, level, coord='pressure', vert_dim=DEFAULT_VERT_DIM,
+                 names=None):
     """Splice a per-column level into pressure-sorted profiles; the output
     has L+1 levels and keeps a vertical index coordinate exactly as the
     reference's reindexing does
-    (reference: modules/parcel_functions.py:933-990)."""
-    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    (reference: modules/parcel_functions.py:933-990).
+    ``names``: variables to include (default: all carrying ``vert_dim``)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim, names=names)
     lvl = {k: _lower(v, None, batch_dims) for k, v in
            (level.data_vars.items() if _is_dataset(level)
             else dict(level).items())}
@@ -828,12 +853,14 @@ def log_interp(x, coords, at, extrapolate=False, vert_dim=DEFAULT_VERT_DIM):
                     coords=_coords_of(args, batch_dims), name=None)
 
 
-def shift_out_nans(dat, key='pressure', vert_dim=DEFAULT_VERT_DIM):
+def shift_out_nans(dat, key='pressure', vert_dim=DEFAULT_VERT_DIM,
+                   names=None):
     """Shift columns left over their leading NaNs (the reference's
     compaction loop; parity surface — the production pipelines use
     first-valid-index semantics instead)
-    (reference: modules/parcel_functions.py:1699-1720)."""
-    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim)
+    (reference: modules/parcel_functions.py:1699-1720).
+    ``names``: variables to include (default: all carrying ``vert_dim``)."""
+    fields, batch_dims, vc, coords = _fields_of(dat, vert_dim, names=names)
     run = _jitted(_ops.compact_left, (('key', key),))
     return _lift(run(fields), batch_dims, vert_dim=vert_dim, coords=coords,
                  vert_coord=vc)
