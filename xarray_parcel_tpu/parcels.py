@@ -16,7 +16,30 @@ from .cape import cape_cin
 from .ops import get_layer, insert_level, interp_many, nanmax
 
 
-def mixed_layer(fields, depth=100.0):
+def bridge_neighbors(pressure, valid):
+    """Previous/next valid pressure of every level (exclusive cumulative
+    min/max scans along the level axis; pressures sorted decreasing).
+
+    ``+inf``/``-inf`` mark "no previous"/"no next".  Depth-independent —
+    compute once and pass to :func:`mixed_layer` via ``neighbors=`` when
+    mixing several depths of the same columns (each scan pair costs ~7
+    full-field passes; the pipeline shares one pair across both conserved
+    variables and both mixing depths, benchmarks/prep_breakdown.py).
+    """
+    axis = pressure.ndim - 1
+    run_min = jax.lax.cummin(jnp.where(valid, pressure, jnp.inf), axis=axis)
+    prev_raw = jnp.concatenate(
+        [jnp.full_like(run_min[..., :1], jnp.inf), run_min[..., :-1]],
+        axis=-1)
+    run_max = jax.lax.cummax(jnp.where(valid, pressure, -jnp.inf),
+                             axis=axis, reverse=True)
+    next_raw = jnp.concatenate(
+        [run_max[..., 1:], jnp.full_like(run_max[..., :1], -jnp.inf)],
+        axis=-1)
+    return prev_raw, next_raw
+
+
+def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
     """Mass-weighted (mean-value-theorem) average of each variable over the
     surface-based layer of the given depth
     (reference: modules/parcel_functions.py:137-162).
@@ -25,23 +48,32 @@ def mixed_layer(fields, depth=100.0):
     in-layer levels, plus a partial boundary gap from the last valid
     in-layer level to the log-interpolated layer top — the same integral
     dropna + ``trapz`` over the layer computes, without materialising a
-    spliced (…, L+1) column (the splice costs ~25 full-field passes;
-    measured 8.6 ms of the fused pipeline's 14 ms XLA prep at 2^18,
-    benchmarks/prep_breakdown.py).
+    spliced (…, L+1) column (the splice costs ~25 full-field passes).
 
     Interior-NaN levels are BRIDGED: a gap whose endpoints are the valid
     levels on either side of a NaN run is integrated with those endpoint
     values (the piecewise-linear interpolant through the observed points —
-    what the serial oracle's dropna-then-trapezoid computes, per variable).
-    The reference's splice instead duplicates the inserted top level at
+    what the serial oracle's dropna-then-trapezoid computes).  The
+    reference's splice instead duplicates the inserted top level at
     every NaN slot (insert_level's fill_value round-trip, reference
     :960-990), leaving an unsorted pressure column whose rolling-trapz
     double-counts overlapping spans — deviating here is deliberate.
 
+    ``valid``: optional shared level-validity mask.  Default (None) is
+    per-variable validity (``isfinite(p) & isfinite(v)``), each variable
+    bridging its own NaN levels.  With ``valid`` given, all variables mix
+    over the SAME jointly-valid level set (whole-level dropna — the
+    pipeline passes ``isfinite(p & t & td)``), which lets the scan pair be
+    shared; the caller guarantees every variable is finite where ``valid``
+    (a violation surfaces as NaN output, never silent misintegration).
+    ``neighbors``: optional precomputed :func:`bridge_neighbors` for that
+    shared mask.
+
     Implementation is gather-free: with ``prev``/``next`` the neighbouring
-    valid in-layer pressures of each valid level (exclusive cumulative
-    min/max scans), the bridged trapezoid sum telescopes to
-    ``0.5 * sum_i v_i * (prev_i - next_i)`` (one-sided at the run ends).
+    valid pressures of each level, the bridged trapezoid sum telescopes to
+    ``0.5 * sum_i v_i * (prev_i - next_i)`` (one-sided at the run ends;
+    the layer-top restriction is a clip on ``next`` — a valid level's
+    previous valid level is automatically in-layer on sorted columns).
     """
     p = fields['pressure']
     vals = {k: v for k, v in fields.items() if k != 'pressure'}
@@ -55,7 +87,6 @@ def mixed_layer(fields, depth=100.0):
     f_top = interp_many(vals, p, top, log=True)
 
     valid_p = ~jnp.isnan(p)
-    in_layer = valid_p & (p >= topb)
     j = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
 
     # The layer's pressure span is always exactly ``depth`` (the boundary
@@ -66,40 +97,45 @@ def mixed_layer(fields, depth=100.0):
     # (the where-NaN trap); the NaN pattern comes from inv_depth instead.
     safe_top = jnp.where(jnp.isnan(top), 0.0, top)
 
+    shared = valid is not None
+    if shared:
+        valid = valid & valid_p
+        if neighbors is None:
+            neighbors = bridge_neighbors(p, valid)
+        m_shared = valid & (p >= topb)
+        k_star_s = jnp.max(jnp.where(m_shared, j, -1), axis=-1)
+        at_k_s = (j == k_star_s[..., None]) & m_shared
+        p_k_s = jnp.sum(jnp.where(at_k_s, p, 0.0), axis=-1)
+        any_k_s = jnp.any(at_k_s, axis=-1)
+
     out = {}
     for k, v in vals.items():
-        m = in_layer & ~jnp.isnan(v)
+        if shared:
+            m, (prev_raw, next_raw) = m_shared, neighbors
+            at_k, p_k, any_k = at_k_s, p_k_s, any_k_s
+        else:
+            vv = valid_p & ~jnp.isnan(v)
+            prev_raw, next_raw = bridge_neighbors(p, vv)
+            m = vv & (p >= topb)
+            # Last valid in-layer level: the boundary gap's lower endpoint.
+            k_star = jnp.max(jnp.where(m, j, -1), axis=-1)
+            at_k = (j == k_star[..., None]) & m   # all-False if k_star==-1
+            p_k = jnp.sum(jnp.where(at_k, p, 0.0), axis=-1)
+            any_k = jnp.any(at_k, axis=-1)
+
         p_own = jnp.where(m, p, 0.0)         # finite dummies throughout
         v_own = jnp.where(m, v, 0.0)
-
-        # Previous valid in-layer pressure: pressures decrease along the
-        # axis, so the most recent valid p before i is the running minimum
-        # (exclusive).  +inf marks "no previous" -> one-sided (own p).
-        run_min = jax.lax.cummin(jnp.where(m, p, jnp.inf), axis=p.ndim - 1)
-        prev_raw = jnp.concatenate(
-            [jnp.full_like(run_min[..., :1], jnp.inf), run_min[..., :-1]],
-            axis=-1)
+        # +inf = "no previous" -> one-sided (own p).  A next level below
+        # the layer top is the boundary gap's job -> also one-sided.
         prev_p = jnp.where(m & jnp.isfinite(prev_raw), prev_raw, p_own)
-
-        # Next valid in-layer pressure: running maximum from the right
-        # (exclusive).  -inf marks "no next" -> one-sided (own p); the
-        # boundary gap to the interpolated top covers the rest.
-        run_max = jax.lax.cummax(jnp.where(m, p, -jnp.inf),
-                                 axis=p.ndim - 1, reverse=True)
-        next_raw = jnp.concatenate(
-            [run_max[..., 1:], jnp.full_like(run_max[..., :1], -jnp.inf)],
-            axis=-1)
-        next_p = jnp.where(m & jnp.isfinite(next_raw), next_raw, p_own)
+        next_p = jnp.where(m & (next_raw >= topb), next_raw, p_own)
 
         inner = 0.5 * jnp.sum(v_own * (prev_p - next_p), axis=-1)
 
-        # Boundary gap: last valid in-layer level (per variable) -> top.
-        k_star = jnp.max(jnp.where(m, j, -1), axis=-1)
-        at_k = (j == k_star[..., None]) & m  # all-False when k_star == -1
+        # Boundary gap: last valid in-layer level -> interpolated top.
         f_k = jnp.sum(jnp.where(at_k, v, 0.0), axis=-1)
-        p_k = jnp.sum(jnp.where(at_k, p, 0.0), axis=-1)
         ft = f_top[k]
-        b_ok = jnp.any(at_k, axis=-1) & ~jnp.isnan(ft)
+        b_ok = any_k & ~jnp.isnan(ft)
         b_area = (0.5 * (f_k + jnp.where(b_ok, ft, 0.0))
                   * jnp.abs(p_k - safe_top))
         out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv_depth
@@ -116,18 +152,27 @@ def conserved_fields(pressure, temperature, dewpoint):
 
 
 def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
-                 conserved=None):
+                 conserved=None, neighbors=None):
     """Fully mix a surface-based layer: conserve theta and mixing ratio,
     return the parcel's pressure/temperature/dewpoint
     (reference: modules/parcel_functions.py:229-289).
-    ``conserved``: optional precomputed :func:`conserved_fields`."""
+    ``conserved``: optional precomputed :func:`conserved_fields`.
+    ``neighbors``: optional precomputed :func:`bridge_neighbors` for the
+    jointly-valid (finite p, t, td) level mask.
+
+    Both conserved fields derive from (p, t, td), so mixing runs in the
+    shared whole-level-validity mode — one scan pair, reusable across
+    depths."""
     pressure = jnp.asarray(pressure)
     parcel_start_pressure = pressure[..., 0]
 
+    valid = ~(jnp.isnan(pressure) | jnp.isnan(temperature) |
+              jnp.isnan(dewpoint))
     if conserved is None:
         conserved = conserved_fields(pressure, temperature, dewpoint)
 
-    mixed = mixed_layer({'pressure': pressure, **conserved}, depth=depth)
+    mixed = mixed_layer({'pressure': pressure, **conserved}, depth=depth,
+                        valid=valid, neighbors=neighbors)
 
     temp = mixed['theta'] * thermo.exner_function(parcel_start_pressure)
     vap = thermo.vapor_pressure(parcel_start_pressure, mixed['mixing_ratio'])
@@ -171,7 +216,8 @@ def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
     }, parcel
 
 
-def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None):
+def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None,
+              neighbors=None):
     """Replace the lowest ``depth`` hPa with the fully-mixed parcel as the
     new bottom level (reference: modules/parcel_functions.py:1604-1649).
 
@@ -180,11 +226,13 @@ def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None):
     parcel dict).  The reference compacts the kept levels down to index 0;
     here the parcel is spliced in place via the leading-NaN-aware
     ``insert_level`` (one splice instead of a per-column shift network).
-    ``conserved``: optional precomputed :func:`conserved_fields`.
+    ``conserved``/``neighbors``: optional precomputed
+    :func:`conserved_fields` / :func:`bridge_neighbors` (share both when
+    mixing several depths of the same columns).
     """
     pressure = jnp.asarray(pressure)
     mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth,
-                      conserved=conserved)
+                      conserved=conserved, neighbors=neighbors)
 
     keep = pressure < (nanmax(pressure) - depth)[..., None]
     masked = {
@@ -217,14 +265,14 @@ def most_unstable_cape_cin(pressure, temperature, dewpoint, depth=300.0,
 
 
 def mixed_layer_cape_cin(pressure, temperature, dewpoint, depth=100.0,
-                         conserved=None, **kwargs):
+                         conserved=None, neighbors=None, **kwargs):
     """CAPE/CIN for the fully-mixed lowest ``depth`` hPa parcel
     (reference: modules/parcel_functions.py:1651-1697).
 
     Returns (cape_cin dict, profile dict, parcel dict).
     """
     fields, mp = mix_layer(pressure, temperature, dewpoint, depth=depth,
-                           conserved=conserved)
+                           conserved=conserved, neighbors=neighbors)
     res, profile = cape_cin(fields['pressure'], fields['temperature'],
                             fields['dewpoint'],
                             parcel_temperature=mp['temperature'],

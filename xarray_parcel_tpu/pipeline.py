@@ -49,11 +49,15 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
     mu_cc, mu_prof, mu_parcel = most_unstable_cape_cin(
         p, t, dew, depth=250.0, **kw)
     # theta / saturation mixing ratio are shared by the two mixing depths.
-    from .parcels import conserved_fields
+    from .parcels import bridge_neighbors, conserved_fields
     cons = conserved_fields(p, t, dew)
+    nbrs = bridge_neighbors(p, ~(jnp.isnan(p) | jnp.isnan(t) |
+                                 jnp.isnan(dew)))
     m100_cc, m100_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=100.0,
+                                                 neighbors=nbrs,
                                                  conserved=cons, **kw)
     m50_cc, m50_prof, _ = mixed_layer_cape_cin(p, t, dew, depth=50.0,
+                                               neighbors=nbrs,
                                                conserved=cons, **kw)
 
     mu_li = diag.lifted_index(mu_prof)['lifted_index']
@@ -120,7 +124,8 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
     come out of the kernel and the LI interpolates them in XLA.
     """
     from . import fused as _fused
-    from .parcels import from_most_unstable_parcel, mix_layer
+    from .parcels import (bridge_neighbors, from_most_unstable_parcel,
+                          mix_layer)
 
     p = jnp.asarray(dat['pressure'])
     t = jnp.asarray(dat['temperature'])
@@ -148,10 +153,13 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
     # theta / saturation mixing ratio are shared by the two mixing depths.
     from .parcels import conserved_fields
     cons = conserved_fields(p, t, dew)
+    nbrs = bridge_neighbors(p, ~(jnp.isnan(p) | jnp.isnan(t) |
+                                 jnp.isnan(dew)))
     m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0,
-                                         conserved=cons)
+                                         conserved=cons, neighbors=nbrs)
     m100 = solve(m100_fields, m100_parcel)
-    m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0, conserved=cons)
+    m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0, conserved=cons,
+                                       neighbors=nbrs)
     m50 = solve(m50_fields, m50_parcel)
 
     mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
