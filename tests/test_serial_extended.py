@@ -192,3 +192,36 @@ def test_height_diagnostics_vs_serial(grid):
                 t[i, j], td[i, j], h[i, j])
             assert (np.isnan(mlh[i, j]) and np.isnan(ref)) or \
                 abs(mlh[i, j] - ref) < 1e-6, (i, j)
+
+
+def test_mixed_parcel_interior_nan_vs_serial():
+    """Interior whole-level NaNs inside the mixing layer: the vector
+    mixed_parcel BRIDGES them (dropna-then-trapezoid) — exactly what the
+    serial oracle's p[sel]-then-pairwise-trapz computes."""
+    p, t, td = make_grid(ny=4, nx=4, L=48, seed=23)
+    p, t, td = p.copy(), t.copy(), td.copy()
+    rng = np.random.default_rng(5)
+    # Poison 1-2 whole levels inside the lowest 100 hPa of most columns.
+    for i in range(4):
+        for j in range(4):
+            if (i + j) % 3 == 0:
+                continue                      # keep some NaN-free columns
+            for k in rng.choice(range(1, 5), size=rng.integers(1, 3),
+                                replace=False):
+                p[i, j, k] = t[i, j, k] = td[i, j, k] = np.nan
+
+    mp = jax.jit(parcels.mixed_parcel)(jnp.asarray(p), jnp.asarray(t),
+                                       jnp.asarray(td))
+    for i in range(4):
+        for j in range(4):
+            p0, mt, mtd = oracle.mixed_parcel_column(p[i, j], t[i, j],
+                                                     td[i, j])
+            np.testing.assert_allclose(
+                float(mp['pressure'][i, j]), p0, atol=1e-9,
+                err_msg=f'col {i},{j} pressure')
+            np.testing.assert_allclose(
+                float(mp['temperature'][i, j]), mt, atol=1e-8,
+                err_msg=f'col {i},{j} temperature')
+            np.testing.assert_allclose(
+                float(mp['dewpoint'][i, j]), mtd, atol=1e-7,
+                err_msg=f'col {i},{j} dewpoint')
