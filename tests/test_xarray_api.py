@@ -450,3 +450,69 @@ def test_spliced_vert_coord_follows_input_step(dat_dew):
         np.testing.assert_array_equal(vc[:-1], vc_in)
         assert vc[-1] == vc_in[-1] + (vc_in[-1] - vc_in[-2])
         assert len(np.unique(vc)) == L + 1
+
+
+def test_remaining_ops_wrappers_mirror_array_api(dat_dew):
+    """The last reference defs exposed on the Dataset surface
+    (bound_pressure, trap_around_zeros, cape_cin_base, add_lcl_to_profile,
+    from_most_unstable_parcel, mix_layer) match the array API."""
+    import jax.numpy as jnp
+
+    dims = dat_dew['pressure'].dims
+    p, t, td = (_vals(dat_dew[k]) for k in ('pressure', 'temperature',
+                                            'dewpoint'))
+    P, T, TD = (xr.DataArray(v, dims=dims) for v in (p, t, td))
+    jp, jt, jtd = (jnp.asarray(v) for v in (p, t, td))
+
+    bound = np.full(p.shape[:-1], 850.0)
+    bp = xarray_api.bound_pressure(P, xr.DataArray(bound, dims=dims[:-1]))
+    np.testing.assert_allclose(_vals(bp), np.asarray(
+        api.bound_pressure(jp, jnp.asarray(bound))), rtol=1e-6)
+
+    y = t - (t[..., :1] - 30.0 * (1.0 - p / p[..., :1]))
+    areas, mask = xarray_api.trap_around_zeros(P,
+                                               xr.DataArray(y, dims=dims))
+    a_ref, m_ref = api.trap_around_zeros(jp, jnp.asarray(y))
+    np.testing.assert_allclose(_vals(areas['area']),
+                               np.asarray(a_ref['area']), rtol=1e-6,
+                               equal_nan=True)
+    np.testing.assert_array_equal(_vals(mask), np.asarray(m_ref))
+
+    fields, parcel = xarray_api.mix_layer(P, T, TD)
+    f_ref, p_ref = api.mix_layer(jp, jt, jtd)
+    assert _vals(fields['pressure']).shape[-1] == p.shape[-1] + 1
+    np.testing.assert_allclose(_vals(fields['temperature']),
+                               np.asarray(f_ref['temperature']),
+                               rtol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(_vals(parcel['temperature']),
+                               np.asarray(p_ref['temperature']), rtol=1e-6)
+
+    fields2, mu = xarray_api.from_most_unstable_parcel(P, T, TD)
+    f2_ref, mu_ref = api.from_most_unstable_parcel(jp, jt, jtd)
+    np.testing.assert_allclose(_vals(fields2['pressure']),
+                               np.asarray(f2_ref['pressure']), rtol=1e-6,
+                               equal_nan=True)
+    np.testing.assert_allclose(_vals(mu['pressure']),
+                               np.asarray(mu_ref['pressure']), rtol=1e-6)
+
+    surf = {k: xr.DataArray(v[..., 0], dims=dims[:-1])
+            for k, v in (('p', p), ('t', t), ('td', td))}
+    prof = xarray_api.parcel_profile(P, surf['p'], surf['t'], surf['td'])
+    spliced = xarray_api.add_lcl_to_profile(prof)
+    prof_ref = api.parcel_profile(jp, jnp.asarray(p[..., 0]),
+                                  jnp.asarray(t[..., 0]),
+                                  jnp.asarray(td[..., 0]))
+    spl_ref = api.add_lcl_to_profile(prof_ref)
+    np.testing.assert_allclose(_vals(spliced['temperature']),
+                               np.asarray(spl_ref['temperature']),
+                               rtol=1e-6, equal_nan=True)
+
+    ccb = xarray_api.cape_cin_base(
+        spliced['pressure'], spliced['virtual_temperature'],
+        xr.DataArray(np.full(p.shape[:-1], 900.0), dims=dims[:-1]),
+        xr.DataArray(np.full(p.shape[:-1], 300.0), dims=dims[:-1]),
+        spliced['virtual_temperature'])
+    assert sorted(ccb.data_vars) == ['cape', 'cin']
+
+    assert float(xarray_api.round_to(123.456, 0.5)) == 123.5
+    assert xarray_api.lookup_tables_loaded()

@@ -25,8 +25,8 @@ from .diagnostics import (deep_convective_index as _dci,
 from .fieldset import FieldSet, annotate, attrs_for
 from .lcl import lcl
 from .ops import (bound_pressure, compact_left, find_intersections,
-                  get_layer, insert_level, linear_interp, log_interp, trapz,
-                  trap_around_zeros)
+                  get_layer, insert_level, interp1d, linear_interp,
+                  log_interp, trapz, trap_around_zeros)
 from .parcels import (from_most_unstable_parcel, mix_layer, mixed_layer,
                       mixed_parcel, most_unstable_parcel)
 from .parcels import (mixed_layer_cape_cin as _ml_cape_cin,
@@ -38,6 +38,18 @@ from .thermo import (dewpoint_from_specific_humidity, mixing_ratio,
 
 # The reference's name for the left-compaction primitive.
 shift_out_nans = compact_left
+
+# The reference's interp1d_numba equivalent (a jitted device kernel; the
+# reference name advertises its numba implementation so the neutral name is
+# kept; reference: modules/parcel_functions.py:23-37).
+interp1d_numba = interp1d
+
+
+def round_to(x, to, dp=2):
+    """Round ``x`` to the nearest ``to``, then to ``dp`` decimals
+    (reference: modules/parcel_functions.py:358-362; used by the
+    table-builder grids)."""
+    return jnp.round(jnp.round(jnp.asarray(x) / to) * to, dp)
 
 # Table builder under the reference's names (moist_adiabat_lookup is the
 # raw builder, moist_adiabat_tables the cached wrapper; reference:

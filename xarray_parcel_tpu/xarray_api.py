@@ -864,3 +864,113 @@ def shift_out_nans(dat, key='pressure', vert_dim=DEFAULT_VERT_DIM,
     run = _jitted(_ops.compact_left, (('key', key),))
     return _lift(run(fields), batch_dims, vert_dim=vert_dim, coords=coords,
                  vert_coord=vc)
+
+
+def bound_pressure(pressure, bound, vert_dim=DEFAULT_VERT_DIM):
+    """Closest pressure level to ``bound``; ties take the larger pressure
+    (reference: modules/parcel_functions.py:208-227)."""
+    args = (pressure, bound)
+    batch_dims = _batch_dims_of((pressure,), vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    return _lift_da(_jitted(_ops.bound_pressure)(*low), batch_dims,
+                    coords=_coords_of(args, batch_dims),
+                    name='bound_pressure')
+
+
+def trap_around_zeros(x, y, log_x=True, start=0,
+                      vert_dim=DEFAULT_VERT_DIM):
+    """Rectangle areas hugging each zero crossing of ``y`` along ``x``;
+    returns (areas Dataset over a fresh gap index, gap-mask DataArray)
+    (reference: modules/parcel_functions.py:1200-1273)."""
+    args = (x, y)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_ops.trap_around_zeros, (('log_x', bool(log_x)),
+                                           ('start', int(start))))
+    areas, gap_mask = run(*low)
+    coords = _coords_of(args, batch_dims)
+    return (_lift(areas, batch_dims, vert_dim=vert_dim, coords=coords),
+            _lift_da(gap_mask, batch_dims, coords=coords, name='gap_mask',
+                     vert_dim=vert_dim))
+
+
+def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
+                  parcel_temperature, vert_dim=DEFAULT_VERT_DIM,
+                  pos_cape_neg_cin=True, post_zero_cin=False):
+    """CAPE/CIN from a parcel track and LFC/EL pressures
+    (reference: modules/parcel_functions.py:1291-1392)."""
+    args = (pressure, temperature, lfc_pressure, el_pressure,
+            parcel_temperature)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_cape.cape_cin_base,
+                  (('pos_cape_neg_cin', bool(pos_cape_neg_cin)),
+                   ('post_zero_cin', bool(post_zero_cin))))
+    return _lift(run(*low), batch_dims,
+                 coords=_coords_of(args, batch_dims))
+
+
+def add_lcl_to_profile(profile, environment=None, interpolator='log',
+                       vert_dim=DEFAULT_VERT_DIM):
+    """Splice the profile's LCL into its level tracks (L+1 output),
+    optionally interpolating environment tracks at the LCL
+    (reference: modules/parcel_functions.py:858-931)."""
+    prof_fields, batch_dims, vc, coords = _fields_of(
+        profile, vert_dim,
+        names=list(profile.data_vars) if _is_dataset(profile)
+        else list(dict(profile)))
+    env_fields = None
+    if environment is not None:
+        env_fields, _, _, _ = _fields_of(
+            environment, vert_dim,
+            names=list(environment.data_vars) if _is_dataset(environment)
+            else list(dict(environment)))
+    run = _jitted(_profile.add_lcl_to_profile,
+                  (('interpolator', interpolator),))
+    out = run(prof_fields, environment=env_fields)
+    return _lift(out, batch_dims, vert_dim=vert_dim, coords=coords,
+                 vert_coord=vc)
+
+
+def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0,
+                              vert_dim=DEFAULT_VERT_DIM):
+    """Columns masked to levels at/above the most unstable parcel, plus the
+    parcel; returns (fields Dataset, parcel Dataset)
+    (reference: modules/parcel_functions.py:1517-1555)."""
+    args = (pressure, temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_parcels.from_most_unstable_parcel,
+                  (('depth', float(depth)),))
+    fields, parcel = run(*low)
+    coords = _coords_of(args, batch_dims)
+    vc = _vert_coord_of(args, vert_dim)
+    return (_lift(fields, batch_dims, vert_dim=vert_dim, coords=coords,
+                  vert_coord=vc),
+            _lift(parcel, batch_dims, coords=coords))
+
+
+def mix_layer(pressure, temperature, dewpoint, depth=100.0,
+              vert_dim=DEFAULT_VERT_DIM):
+    """Columns with the lowest ``depth`` hPa replaced by the fully-mixed
+    parcel as a spliced bottom level (L+1 output); returns
+    (fields Dataset, parcel Dataset)
+    (reference: modules/parcel_functions.py:1604-1649)."""
+    args = (pressure, temperature, dewpoint)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    run = _jitted(_parcels.mix_layer, (('depth', float(depth)),))
+    fields, parcel = run(*low)
+    coords = _coords_of(args, batch_dims)
+    vc = _vert_coord_of(args, vert_dim)
+    return (_lift(fields, batch_dims, vert_dim=vert_dim, coords=coords,
+                  vert_coord=vc),
+            _lift(parcel, batch_dims, coords=coords))
+
+
+# Table/builder utilities under the reference's names (array-level; no
+# Dataset boundary involved — re-exported so every reference def resolves
+# on this surface too; reference: modules/parcel_functions.py:39-61,
+# :318-362, :447-523).
+from .api import (interp1d_numba, lookup_tables_loaded,  # noqa: E402,F401
+                  moist_adiabat_lookup, moist_adiabat_tables, round_to)
