@@ -91,3 +91,28 @@ def test_insert_level():
         np.asarray(res['temperature']),
         [[1., 1.5, 1., 1., 1.],
          [1., 1., 1., 1., 2.]])
+
+
+def test_every_reference_def_resolves():
+    """Every top-level def of the reference's parcel_functions.py resolves
+    under its own name on both user surfaces (PARITY.md's completeness
+    claim; reference def list frozen here, not read from the reference)."""
+    import xarray_parcel_tpu.xarray_api as xarray_api
+    names = """interp1d_numba load_moist_adiabat_lookups
+        lookup_tables_loaded get_layer most_unstable_parcel mixed_layer
+        trapz bound_pressure mixed_parcel dry_lapse moist_adiabat_tables
+        round_to wet_bulb_temperature_fast wet_bulb_temperature
+        moist_adiabat_lookup moist_lapse lcl mixing_ratio parcel_profile
+        virtual_temperature parcel_profile_with_lcl add_lcl_to_profile
+        insert_level find_intersections lfc_el trap_around_zeros
+        cape_cin_base cape_cin surface_based_cape_cin
+        from_most_unstable_parcel most_unstable_cape_cin mix_layer
+        mixed_layer_cape_cin shift_out_nans lifted_index linear_interp
+        log_interp deep_convective_index min_conv_properties
+        conv_properties lapse_rate freezing_level_height
+        melting_level_height isobar_temperature wind_shear
+        significant_hail_parameter valid_data storm_proxies""".split()
+    assert len(names) == 48
+    for name in names:
+        assert hasattr(api, name), f'api.{name} missing'
+        assert hasattr(xarray_api, name), f'xarray_api.{name} missing'

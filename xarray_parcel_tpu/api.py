@@ -44,12 +44,8 @@ shift_out_nans = compact_left
 # kept; reference: modules/parcel_functions.py:23-37).
 interp1d_numba = interp1d
 
-
-def round_to(x, to, dp=2):
-    """Round ``x`` to the nearest ``to``, then to ``dp`` decimals
-    (reference: modules/parcel_functions.py:358-362; used by the
-    table-builder grids)."""
-    return jnp.round(jnp.round(jnp.asarray(x) / to) * to, dp)
+# Table-grid snapping helper (reference: modules/parcel_functions.py:358).
+round_to = adiabat.round_to
 
 # Table builder under the reference's names (moist_adiabat_lookup is the
 # raw builder, moist_adiabat_tables the cached wrapper; reference:
