@@ -27,7 +27,8 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_columns
-    from xarray_parcel_tpu import adiabat, cape, fused
+    from bench import synthetic
+    from xarray_parcel_tpu import adiabat, cape, fused, pipeline
     from xarray_parcel_tpu.utils import columns_per_second
 
     tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
@@ -39,6 +40,10 @@ def main():
         'xla': jax.jit(lambda p, t, td: cape.surface_based_cape_cin(
             p, t, td, tables=tables)[0]['cape']),
     }
+    # The deployment path (full conv_properties, fused kernels) only at the
+    # two largest grids — each grid size is a fresh ~2 min remote compile.
+    pipe = jax.jit(lambda dat: pipeline.conv_properties_fused(
+        dat, tables=tables))
 
     for n in (2, 4, 8, 16, 32, 64, 101, 256, 512, 1024):
         B = n * n
@@ -46,6 +51,13 @@ def main():
         for arm, f in arms.items():
             rate, sec = columns_per_second(f, p, t, td, iters=3)
             print(json.dumps({'grid': f'{n}x{n}', 'columns': B, 'arm': arm,
+                              'columns_per_sec': round(rate, 1),
+                              'sec_per_iter': round(sec, 6)}), flush=True)
+        if n in (256, 512):
+            dat = {k: jnp.asarray(v) for k, v in synthetic(B).items()}
+            rate, sec = columns_per_second(pipe, dat, columns=B, iters=3)
+            print(json.dumps({'grid': f'{n}x{n}', 'columns': B,
+                              'arm': 'pipeline_fused',
                               'columns_per_sec': round(rate, 1),
                               'sec_per_iter': round(sec, 6)}), flush=True)
 
