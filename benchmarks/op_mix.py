@@ -14,12 +14,27 @@ mul + one add + one sub on the full block, plus the argument prep), so
 bounds what any spectral-evaluation optimisation can buy if per-op cost
 were uniform; the TPU A/B measures how non-uniform it actually is.
 
+The census also emits a VPU issue-rate roofline: every vector op on a
+(sublanes, lanes) block costs ceil(sublanes/8) * ceil(lanes/128) vector
+registers, and the v5e VPU issues ~1 vreg-op/cycle at ~940 MHz, so
+
+    blocks * vregs_per_block / clock
+
+predicts kernel-only time if the kernel is issue-bound.  Round-4
+calibration: at 2^19 columns the rows-layout kernel measured 59.4 ms;
+the census predicts 47.4 ms counting arithmetic+reductions only and
+65.8 ms counting layout ops too — the kernel runs at 0.9-1.25x the
+issue-rate speed of light, which is why kernel time is flat in L
+(64/90/127 all pad to 128 lanes), TB-invariant, and why each removed
+vector op is worth ~0.1%% (op-count reduction is the only lever left).
+
 Run anywhere:  python benchmarks/op_mix.py
 Prints one JSON line.
 """
 
 import collections
 import json
+import math
 import os
 import sys
 
@@ -70,6 +85,15 @@ def main():
 
     buckets = collections.Counter()
     prim_counts = collections.Counter()
+    vreg_ops = collections.Counter()
+
+    def vregs(sh):
+        if not sh:
+            return 0.0
+        if len(sh) == 1:
+            sh = (1,) + tuple(sh)
+        sublanes = math.prod(sh[:-1])
+        return math.ceil(sublanes / 8) * math.ceil(sh[-1] / 128)
 
     def walk(jx):
         for eqn in jx.eqns:
@@ -86,6 +110,12 @@ def main():
             buckets[(cls, shape_class(sh))] += 1
             if shape_class(sh) == 'vector':
                 prim_counts[nm] += 1
+            if cls == 'reduce':
+                # A reduction must stream its input, not its output.
+                insh = tuple(getattr(eqn.invars[0].aval, 'shape', ()))
+                vreg_ops[cls] += vregs(insh)
+            else:
+                vreg_ops[cls] += vregs(sh)
 
     walk(jaxpr.jaxpr)
 
@@ -93,6 +123,20 @@ def main():
                     if c == 'arith' and s == 'vector')
     K = int(tables.coeffs.shape[-1])
     clenshaw_ops = (K - 1) * 3 + 4  # per-iter mul/add/sub + u prep
+    CLOCK_HZ = 0.94e9               # v5e core clock, ~1 vreg-op/cycle
+    B_CAL, MEASURED_MS = 1 << 19, 59.4   # round-3 kernel-only measurement
+    blocks = B_CAL // TB
+    core = vreg_ops['arith'] + vreg_ops['reduce']
+    everything = sum(vreg_ops.values())
+    roofline = {
+        'vregs_per_block_arith_reduce': round(core),
+        'vregs_per_block_all': round(everything),
+        'predicted_ms_2e19_arith_reduce': round(
+            blocks * core / CLOCK_HZ * 1e3, 1),
+        'predicted_ms_2e19_all_ops': round(
+            blocks * everything / CLOCK_HZ * 1e3, 1),
+        'measured_ms_2e19_rows': MEASURED_MS,
+    }
     out = {
         'block': [TB, L],
         'vector_arith_ops': vec_arith,
@@ -110,6 +154,7 @@ def main():
         'clenshaw_ops': clenshaw_ops,
         'clenshaw_share_of_vector_arith': round(clenshaw_ops / vec_arith, 4),
         'top_vector_prims': dict(prim_counts.most_common(10)),
+        'vpu_issue_roofline': roofline,
     }
     print(json.dumps(out), flush=True)
 
