@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.safe import notnan
 from .thermo import moist_lapse_rate
 
 # Reference table grid (reference: modules/parcel_functions.py:447-451).
@@ -423,7 +424,7 @@ def curve_index_integrate(parcel_pressure, parcel_temperature,
     """
     pp = jnp.asarray(parcel_pressure)
     pt = jnp.asarray(parcel_temperature)
-    valid = ~jnp.isnan(pp) & ~jnp.isnan(pt) & (pp > 0)
+    valid = notnan(pp) & notnan(pt) & (pp > 0)
     lp0 = jnp.log(jnp.where(valid, pp, P_TOP))
     t0 = jnp.where(valid, pt, 273.15)
     t_start = integrate_between(t0, lp0, jnp.full_like(lp0, _LNP_HI),
@@ -536,8 +537,8 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     else:
         fidx = _curve_index(tables, parcel_pressure, parcel_temperature,
                             bilinear=index_mode == 'bilinear')
-    valid = ~jnp.isnan(fidx) & ~jnp.isnan(parcel_temperature) & \
-        ~jnp.isnan(parcel_pressure)
+    valid = notnan(fidx) & notnan(parcel_temperature) & \
+        notnan(parcel_pressure)
     fidx = jnp.where(valid, fidx, 0.0).astype(tables.curves.dtype)
 
     safe_p = jnp.where(jnp.isnan(pressure), P_TOP, pressure)
@@ -557,7 +558,7 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
         out = _interp_curve(tables, fidx, safe_p, curve_blend=curve_blend)
 
     in_range = (pressure >= P_BOT) & (pressure <= P_TOP)
-    ok = in_range & ~jnp.isnan(pressure)
+    ok = in_range & notnan(pressure)
     if not pointwise:
         ok = ok & valid[..., None]
     else:
@@ -590,13 +591,13 @@ def moist_lapse_integrate(pressure, parcel_temperature, parcel_pressure=None,
                           levels.shape[:-1]).astype(levels.dtype)
     levels = jnp.broadcast_to(levels, t0.shape + levels.shape[-1:])
 
-    start_valid = ~jnp.isnan(t0) & ~jnp.isnan(p0)
+    start_valid = notnan(t0) & notnan(p0)
     lp0 = jnp.log(jnp.where(start_valid, p0, P_TOP))
     t_start = jnp.where(start_valid, t0, 273.15)
 
     def step(carry, p_k):
         t_cur, lp_cur = carry
-        valid = ~jnp.isnan(p_k) & (p_k > 0)
+        valid = notnan(p_k) & (p_k > 0)
         lp_new = jnp.where(valid, jnp.log(jnp.where(valid, p_k, 1.0)), lp_cur)
         t_new = integrate_between(t_cur, lp_cur, lp_new,
                                   n_substeps=n_substeps)

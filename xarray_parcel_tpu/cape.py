@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as c
-from .ops import (find_intersections, nanmax, nanmin, nansum, safe_exp,
+from .ops import (find_intersections, nanmax, nanmin, nansum, notnan,
+                  safe_exp,
                   safe_log, trap_around_zeros)
 from .ops._axis import axis_index, edge_slicers, expander
 from .ops.integrate import gap_areas, select_areas
@@ -80,7 +81,7 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     # ``first_valid`` optionally supplies the index (argmax does not lower
     # inside Pallas kernels; the fused path precomputes it in XLA).
     if first_valid is None:
-        first_valid = jnp.argmax(~jnp.isnan(p), axis=axis)
+        first_valid = jnp.argmax(notnan(p), axis=axis)
     k0 = ex(jnp.asarray(first_valid).astype(jnp.int32))
     gaps = ints['increasing_x'].shape
     gap0 = jax.lax.broadcasted_iota(jnp.int32, gaps,
@@ -111,7 +112,7 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
 
     # EL existence: parcel colder than environment at the top of the sounding
     # and EL above the LCL (reference :1141-1155).
-    temps_available = ~jnp.isnan(pt) & ~jnp.isnan(t)
+    temps_available = notnan(pt) & notnan(t)
     top_p = nanmin(pw, where=temps_available, axis=axis)
     at_top = pw == ex(top_p)
     top_prof = nanmax(pt, where=at_top, axis=axis)

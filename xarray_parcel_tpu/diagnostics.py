@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from . import adiabat, thermo
 from .lcl import lcl
-from .ops import find_intersections, interp_many, log_interp, nanmin
+from .ops import find_intersections, interp_many, log_interp, nanmin, notnan
 
 
 def lifted_index(profile):
@@ -83,7 +83,7 @@ def wet_bulb_temperature(pressure, temperature, dewpoint, tables=None,
     # semantics match the reference's table consumer.
     fidx = adiabat.curve_index_integrate(lcls['lcl_pressure'],
                                          lcls['lcl_temperature'])
-    ok = (~jnp.isnan(fidx) & (pressure >= adiabat.P_BOT) &
+    ok = (notnan(fidx) & (pressure >= adiabat.P_BOT) &
           (pressure <= adiabat.P_TOP))
     return jnp.where(ok, wb, jnp.nan)
 

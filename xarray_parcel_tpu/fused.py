@@ -34,7 +34,8 @@ from .cape import cape_cin_base, lfc_el
 from .lcl import lcl
 import math
 
-from .ops import find_intersections, insert_level, interp_many, safe_log
+from .ops import (find_intersections, insert_level, interp_many, notnan,
+                  safe_log)
 from .ops._axis import expander as _expander
 
 
@@ -66,7 +67,7 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     # exp/log/power/multiply leak NaN into reverse-mode cotangents even when
     # masked downstream (the where-NaN gradient trap), so every track is
     # computed on safe finite dummies with the NaN pattern applied after.
-    validp = ~jnp.isnan(p)
+    validp = notnan(p)
     safe_p = jnp.where(validp, p, P_TOP)
     lp = safe_log(p)
     safe_lp = jnp.where(validp, lp, math.log(P_TOP))
@@ -79,13 +80,13 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     temp = jnp.where(validp, temp, jnp.nan)
 
     # Mixing ratio: parcel's below the LCL, saturated above; virtual temps.
-    validt = ~jnp.isnan(temp)
+    validt = notnan(temp)
     safe_temp = jnp.where(validt, temp, 273.15)
     sat_w = thermo.saturation_mixing_ratio(safe_p, safe_temp)
     w = jnp.where(p <= lcl_pb, sat_w, ex(w0))
     vt = jnp.where(validt, thermo.virtual_temperature(safe_temp, w), jnp.nan)
 
-    valid_env = validp & ~jnp.isnan(t) & ~jnp.isnan(td)
+    valid_env = validp & notnan(t) & notnan(td)
     safe_t = jnp.where(valid_env, t, 273.15)
     safe_td = jnp.where(valid_env, td, 263.15)
     env_vt = jnp.where(
@@ -361,7 +362,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
 
     # First-valid level index (leading-NaN prefix length of masked
     # sub-parcel columns) — argmax stays in XLA, the kernel gets a scalar.
-    k0 = jnp.argmax(~jnp.isnan(p), axis=-1).astype(p.dtype)
+    k0 = jnp.argmax(notnan(p), axis=-1).astype(p.dtype)
     scalars = jnp.stack([lcl_p, lcls['lcl_temperature'],
                          lcls['lcl_virtual_temperature'], w0, t0, p0, k0],
                         axis=-1).astype(p.dtype)       # (B, 7)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from . import constants as c
 from . import thermo
+from .ops.safe import notnan
 
 
 def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
@@ -49,7 +50,7 @@ def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
     lcl_w = thermo.mixing_ratio(lcl_t, lcl_t, lcl_p)
     lcl_vt = thermo.virtual_temperature(lcl_t, lcl_w)
 
-    valid = ~(jnp.isnan(p0) | jnp.isnan(t0) | jnp.isnan(td0))
+    valid = notnan(p0) & notnan(t0) & notnan(td0)
     nan = jnp.nan
     return {
         'lcl_pressure': jnp.where(valid, lcl_p, nan),

@@ -5,7 +5,7 @@ NaN-aware, and jit/vmap-safe.
 """
 
 from .reduce import nanmax, nanmin, nansum, nanmean, nancount, any_valid
-from .safe import safe_log, safe_exp
+from .safe import notnan, safe_log, safe_exp
 from .interp import interp_many, linear_interp, log_interp, interp1d
 from .intersect import find_intersections
 from .integrate import gap_areas, select_areas, trapz, trap_around_zeros
@@ -13,7 +13,7 @@ from .levels import insert_level, compact_left, bound_pressure, get_layer
 
 __all__ = [
     'nanmax', 'nanmin', 'nansum', 'nanmean', 'nancount', 'any_valid',
-    'safe_log', 'safe_exp',
+    'notnan', 'safe_log', 'safe_exp',
     'interp_many', 'linear_interp', 'log_interp', 'interp1d',
     'find_intersections', 'gap_areas', 'select_areas', 'trapz',
     'trap_around_zeros',

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ._axis import axis_index, edge_slicers
 from .intersect import find_intersections
-from .safe import safe_log
+from .safe import notnan, safe_log
 
 
 def gap_areas(y, x, axis=-1):
@@ -36,7 +36,7 @@ def gap_areas(y, x, axis=-1):
     # Select-then-compute (not compute-then-NaN): gap areas touched by a
     # NaN level are excluded by the selection, and the arithmetic never sees
     # the NaN sentinels — keeps reverse-mode gradients finite.
-    valid = ~(jnp.isnan(y0) | jnp.isnan(y1) | jnp.isnan(x0) | jnp.isnan(x1))
+    valid = notnan(y0) & notnan(y1) & notnan(x0) & notnan(x1)
     dx = jnp.abs(jnp.where(valid, x1 - x0, 0.0))
     means = 0.5 * (jnp.where(valid, y0, 0.0) + jnp.where(valid, y1, 0.0))
     return dx * means, valid
@@ -114,7 +114,7 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
             zx = safe_log(ints['all_x'])
     else:
         zx = ints['all_x']
-    crossing = ~jnp.isnan(ints['all_x'])
+    crossing = notnan(ints['all_x'])
 
     if log_x:
         if log_x_values is not None:
@@ -127,11 +127,11 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
     # Safe crossing positions for the arithmetic below: NaN positions
     # (no crossing / poisoned gaps / NaN-padded levels) would otherwise leak
     # NaN into reverse-mode cotangents of the (masked-out) rectangle areas.
-    zx_safe = jnp.where(crossing & ~jnp.isnan(zx), zx, 0.0)
+    zx_safe = jnp.where(crossing & notnan(zx), zx, 0.0)
 
     def rects(point_x, point_y):
-        keep = (crossing & ~jnp.isnan(zx) & ~jnp.isnan(point_y) &
-                ~jnp.isnan(point_x))
+        keep = (crossing & notnan(zx) & notnan(point_y) &
+                notnan(point_x))
         px = jnp.where(keep, point_x, 0.0)
         dx = px - zx_safe
         y_safe = jnp.where(keep, point_y, 0.0)

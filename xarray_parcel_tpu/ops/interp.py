@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ._axis import expander as _expander
 from .reduce import nanmax, nanmin, nanmean
-from .safe import safe_log
+from .safe import notnan, safe_log
 
 
 def interp_many(xs, coords, at, extrapolate=False, log=False,
@@ -71,7 +71,7 @@ def interp_many(xs, coords, at, extrapolate=False, log=False,
     # but an unguarded 0/0 (or NaN/NaN for out-of-range targets) would leak
     # NaN into reverse-mode cotangents of the masked-out branch.
     span = coords_after - coords_before
-    span = jnp.where((span != 0) & ~jnp.isnan(span), span, 1.0)
+    span = jnp.where((span != 0) & notnan(span), span, 1.0)
     frac = (at - coords_before) / span
 
     def one(x):

@@ -11,7 +11,7 @@ NaN-aware reductions in the LFC/EL solver.
 import jax.numpy as jnp
 
 from ._axis import edge_slicers
-from .safe import safe_exp, safe_log
+from .safe import notnan, safe_exp, safe_log
 
 
 def find_intersections(x, a, b, log_x=False, log_x_values=None,
@@ -58,14 +58,14 @@ def find_intersections(x, a, b, log_x=False, log_x_values=None,
     # with a NaN forward value leaks NaN into reverse-mode cotangents even
     # when its own cotangent is zero (the where-NaN gradient trap).  So
     # compute on safe finite dummies and re-impose the NaN pattern after.
-    finite = (crossing & ~jnp.isnan(delta_y0) & ~jnp.isnan(delta_y1) &
-              ~jnp.isnan(x0) & ~jnp.isnan(x1))
+    finite = (crossing & notnan(delta_y0) & notnan(delta_y1) &
+              notnan(x0) & notnan(x1))
     d0 = jnp.where(finite, delta_y0, 0.0)
     d1 = jnp.where(finite, delta_y1, 1.0)
     xs0 = jnp.where(finite, x0, 0.0)
     xs1 = jnp.where(finite, x1, 1.0)
-    as0 = jnp.where(finite & ~jnp.isnan(a0), a0, 0.0)
-    as1 = jnp.where(finite & ~jnp.isnan(a1), a1, 0.0)
+    as0 = jnp.where(finite & notnan(a0), a0, 0.0)
+    as1 = jnp.where(finite & notnan(a1), a1, 0.0)
     # Guarded denominators (0/0 in exact-touch gaps is the same trap).
     dy = d1 - d0
     dy = jnp.where(finite & (dy != 0), dy, 1.0)
@@ -78,7 +78,7 @@ def find_intersections(x, a, b, log_x=False, log_x_values=None,
 
     nan = jnp.nan
     intersect_x = jnp.where(finite, intersect_x, nan)
-    intersect_y = jnp.where(finite & ~jnp.isnan(a0) & ~jnp.isnan(a1),
+    intersect_y = jnp.where(finite & notnan(a0) & notnan(a1),
                             intersect_y, nan)
 
     if log_x and not log_outputs:

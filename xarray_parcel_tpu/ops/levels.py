@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ._axis import axis_index, expander
 from .interp import interp_many
 from .reduce import nanmax, nanmin
+from .safe import notnan
 
 
 def _broadcast_fields(fields, coord='pressure'):
@@ -61,7 +62,7 @@ def insert_level(fields, level, coord='pressure', lead=None, axis=-1):
 
     p_filled = jnp.where(jnp.isnan(p), -jnp.inf, p)
     if lead is None:
-        lead = jnp.argmax(~jnp.isnan(p), axis=axis)  # 0 if no/only lead NaN
+        lead = jnp.argmax(notnan(p), axis=axis)  # 0 if no/only lead NaN
     lead = jnp.asarray(lead).astype(jnp.int32)
     idx = lead + jnp.sum(p_filled >= ex(pl), axis=axis)  # (…,) in [0, L]
 
@@ -108,7 +109,7 @@ def compact_left(fields, key):
     fields = _broadcast_fields(fields)
     v = fields[key]
     L = v.shape[-1]
-    valid = ~jnp.isnan(v)
+    valid = notnan(v)
     lead = jnp.argmax(valid, axis=-1)                  # 0 if all-NaN (harmless)
 
     # Variable left-shift by binary decomposition: log2(L) static shifts with

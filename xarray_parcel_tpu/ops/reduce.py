@@ -10,9 +10,11 @@ before a reduction).
 
 import jax.numpy as jnp
 
+from .safe import notnan
+
 
 def _mask(x, where):
-    m = ~jnp.isnan(x)
+    m = notnan(x)
     if where is not None:
         m = m & where
     return m

@@ -17,6 +17,19 @@ Pinned by tests/test_gradients.py (NaN-padded parcel-variant columns).
 import jax.numpy as jnp
 
 
+def notnan(x):
+    """``~jnp.isnan(x)`` in ONE primitive.
+
+    ``~jnp.isnan(x)`` traces as ``not(ne(x, x))`` — two vector ops —
+    while ``x == x`` is the same predicate (IEEE: NaN is the only value
+    not equal to itself; ±inf compare equal) in a single ``eq``.  The
+    fused CAPE kernel is VPU-issue-bound (benchmarks/op_mix.py), so each
+    validity mask built this way is ~0.1% of kernel time back.
+    """
+    x = jnp.asarray(x)
+    return x == x
+
+
 def safe_log(x):
     """``jnp.log(x)`` with a NaN-clean backward pass."""
     x = jnp.asarray(x)

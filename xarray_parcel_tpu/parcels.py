@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from . import thermo
 from .cape import cape_cin
-from .ops import get_layer, insert_level, interp_many, nanmax
+from .ops import get_layer, insert_level, interp_many, nanmax, notnan
 
 
 def bridge_neighbors(pressure, valid):
@@ -86,7 +86,7 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
     # itself bridges a NaN run adjacent to the boundary).
     f_top = interp_many(vals, p, top, log=True)
 
-    valid_p = ~jnp.isnan(p)
+    valid_p = notnan(p)
     j = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
 
     # The layer's pressure span is always exactly ``depth`` (the boundary
@@ -114,7 +114,7 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
             m, (prev_raw, next_raw) = m_shared, neighbors
             at_k, p_k, any_k = at_k_s, p_k_s, any_k_s
         else:
-            vv = valid_p & ~jnp.isnan(v)
+            vv = valid_p & notnan(v)
             prev_raw, next_raw = bridge_neighbors(p, vv)
             m = vv & (p >= topb)
             # Last valid in-layer level: the boundary gap's lower endpoint.
@@ -135,7 +135,7 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
         # Boundary gap: last valid in-layer level -> interpolated top.
         f_k = jnp.sum(jnp.where(at_k, v, 0.0), axis=-1)
         ft = f_top[k]
-        b_ok = any_k & ~jnp.isnan(ft)
+        b_ok = any_k & notnan(ft)
         b_area = (0.5 * (f_k + jnp.where(b_ok, ft, 0.0))
                   * jnp.abs(p_k - safe_top))
         out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv_depth
@@ -166,8 +166,8 @@ def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
     pressure = jnp.asarray(pressure)
     parcel_start_pressure = pressure[..., 0]
 
-    valid = ~(jnp.isnan(pressure) | jnp.isnan(temperature) |
-              jnp.isnan(dewpoint))
+    valid = (notnan(pressure) & notnan(temperature) &
+             notnan(dewpoint))
     if conserved is None:
         conserved = conserved_fields(pressure, temperature, dewpoint)
 

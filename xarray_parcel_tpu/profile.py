@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from . import adiabat, thermo
 from .lcl import lcl
-from .ops import insert_level, interp_many
+from .ops import insert_level, interp_many, notnan
 
 
 def parcel_profile(pressure, parcel_pressure, parcel_temperature,
@@ -44,7 +44,7 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     # leak NaN into reverse-mode cotangents even when masked downstream (the
     # where-NaN gradient trap), so compute on safe finite dummies and apply
     # the NaN pattern at the end.
-    validp = ~jnp.isnan(pressure)
+    validp = notnan(pressure)
     safe_p = jnp.where(validp, pressure, 500.0)
 
     below_lcl = thermo.dry_lapse(safe_p, parcel_temperature[..., None],
@@ -60,7 +60,7 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     # Mixing ratio: parcel's (constant) below the LCL, saturated above.
     parcel_w = thermo.mixing_ratio(parcel_temperature, parcel_dewpoint,
                                    parcel_pressure)
-    validt = ~jnp.isnan(temp)
+    validt = notnan(temp)
     safe_t = jnp.where(validt, temp, 273.15)
     sat_w = thermo.saturation_mixing_ratio(safe_p, safe_t)
 
@@ -126,8 +126,8 @@ def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
 
     # Safe dummies at NaN levels; NaN pattern re-imposed after (see
     # parcel_profile — the where-NaN gradient trap).
-    valid = ~(jnp.isnan(temperature) | jnp.isnan(dewpoint) |
-              jnp.isnan(pressure))
+    valid = (notnan(temperature) & notnan(dewpoint) &
+             notnan(pressure))
     safe_t = jnp.where(valid, temperature, 273.15)
     safe_td = jnp.where(valid, dewpoint, 263.15)
     safe_p = jnp.where(valid, pressure, 500.0)
