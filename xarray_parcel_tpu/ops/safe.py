@@ -17,6 +17,12 @@ Pinned by tests/test_gradients.py (NaN-padded parcel-variant columns).
 import jax.numpy as jnp
 
 
+# Trace-time switch for benchmarks/notnan_ab.py ONLY: True re-traces
+# notnan as the two-op ~isnan form so both variants of the SAME kernel
+# can be timed in one process (cross-run tunnel noise is ±30%).
+_TRACE_TWO_OP = False
+
+
 def notnan(x):
     """``~jnp.isnan(x)`` in ONE primitive.
 
@@ -27,6 +33,8 @@ def notnan(x):
     validity mask built this way is ~0.1% of kernel time back.
     """
     x = jnp.asarray(x)
+    if _TRACE_TWO_OP:
+        return ~jnp.isnan(x)
     return x == x
 
 
