@@ -239,8 +239,11 @@ def _eval_spectral(coeffs, pressure, log_pressure=None, axis=-1):
     kernel's columns-on-lanes layout) ``coeffs`` is (K, …batch) and
     ``pressure`` (L, …batch), and coefficient k broadcasts natively."""
     lnp = log_pressure if log_pressure is not None else jnp.log(pressure)
-    u = (2.0 * lnp - (_LNP_HI + _LNP_LO)) / (_LNP_HI - _LNP_LO)
-    u = jnp.clip(u, -1.0, 1.0)
+    # Constant divisor folded to a multiply at trace time (Mosaic does not
+    # canonicalise division, and VPU divide is multi-cycle).
+    scale = 2.0 / (_LNP_HI - _LNP_LO)
+    shift = (_LNP_HI + _LNP_LO) / (_LNP_HI - _LNP_LO)
+    u = jnp.clip(lnp * scale - shift, -1.0, 1.0)
     if axis == -1:
         coef = lambda k: coeffs[..., k:k + 1]
     else:

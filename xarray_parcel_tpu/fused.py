@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import adiabat, thermo
+from . import constants as c
 from .adiabat import N_CURVES, P_BOT, P_TOP, _eval_spectral
 from .cape import cape_cin_base, lfc_el
 from .lcl import lcl
@@ -73,7 +74,11 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
     safe_lp = jnp.where(validp, lp, math.log(P_TOP))
 
     # Parcel temperature track: dry below the LCL, spectral moist above.
-    dry = thermo.dry_lapse(safe_p, ex(t0), ex(p0))
+    # Poisson exponential reuses the block's safe ln(p) instead of
+    # thermo.dry_lapse's (p/p0)**kappa: kills a vector divide and the
+    # pow's internal log (log(p0) is a per-column scalar).  Same values
+    # to ~1 ulp, same NaN/inf propagation for padded scalars.
+    dry = ex(t0) * jnp.exp(c.kappa * (safe_lp - jnp.log(ex(p0))))
     moist = _eval_spectral(row, safe_p, log_pressure=safe_lp, axis=axis)
     moist = jnp.where((p >= P_BOT) & (p <= P_TOP), moist, jnp.nan)
     temp = jnp.where(p >= lcl_pb, dry, moist)

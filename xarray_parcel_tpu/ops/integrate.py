@@ -135,8 +135,10 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         px = jnp.where(keep, point_x, 0.0)
         dx = px - zx_safe
         y_safe = jnp.where(keep, point_y, 0.0)
-        area = (y_safe / 2.0) * jnp.abs(dx)
-        pos = px - dx / 2.0
+        # * 0.5, not / 2.0: bit-identical, and Mosaic does not
+        # canonicalise constant divisors (VPU divide is multi-cycle).
+        area = (y_safe * 0.5) * jnp.abs(dx)
+        pos = px - dx * 0.5
         return (jnp.where(keep, area, jnp.nan),
                 jnp.where(keep, pos, jnp.nan),
                 jnp.where(keep, jnp.abs(dx), jnp.nan))
@@ -154,8 +156,8 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
         'area': area,
         'x': pos,
         'dx': dx,
-        'x_from': pos - dx / 2.0,
-        'x_to': pos + dx / 2.0,
+        'x_from': pos - dx * 0.5,
+        'x_to': pos + dx * 0.5,
     }
 
     # Gaps before ``start`` always contribute to the trapezoid sum.  (Built

@@ -65,9 +65,14 @@ def mixing_ratio_from_relative_humidity(pressure, temperature, relative_humidity
 
 def mixing_ratio(temperature, dewpoint_temperature, pressure):
     """RH-route mixing ratio — mirrors the reference's own helper
-    (reference: modules/parcel_functions.py:684-710)."""
-    rh = relative_humidity_from_dewpoint(temperature, dewpoint_temperature)
-    return mixing_ratio_from_relative_humidity(pressure, temperature, rh)
+    (reference: modules/parcel_functions.py:684-710).
+
+    Algebraically fused: rh * w_s = [svp(td)/svp(t)] * [eps*svp(t)/(p-svp(t))]
+    = eps*svp(td)/(p-svp(t)) — the numerator svp(t) cancels exactly, saving
+    one vector divide and one multiply per call (same MetPy-1.4.1 approximate
+    semantics, pure reassociation)."""
+    return (c.epsilon * saturation_vapor_pressure(dewpoint_temperature) /
+            (pressure - saturation_vapor_pressure(temperature)))
 
 
 def exner_function(pressure):
