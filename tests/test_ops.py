@@ -382,3 +382,12 @@ def test_axis0_cape_solvers_match():
     for k in r0:
         np.testing.assert_allclose(np.asarray(r0[k]), np.asarray(r1[k]),
                                    atol=1e-9, err_msg=k)
+
+
+def test_notnan_matches_isnan_complement():
+    # notnan(x) = (x == x) must equal ~isnan for every IEEE class.
+    import numpy as np
+    from xarray_parcel_tpu.ops import notnan
+    x = jnp.array([0.0, -0.0, 1.5, -1e38, jnp.inf, -jnp.inf, jnp.nan])
+    np.testing.assert_array_equal(np.asarray(notnan(x)),
+                                  ~np.isnan(np.asarray(x)))

@@ -100,3 +100,18 @@ def test_moist_lapse_rate_sign_and_magnitude():
 def test_wet_bulb_fast():
     wb = thermo.wet_bulb_temperature_fast(300.0, 291.0)
     assert_almost_equal(float(wb), 297.0, 12)
+
+
+def test_mixing_ratio_fused_equals_rh_route():
+    # mixing_ratio is algebraically fused (eps*svp(td)/(p - svp(t))); it
+    # must equal the unfused MetPy-1.4.1 chain rh * w_s to rounding.
+    import numpy as np
+    rng = np.random.default_rng(7)
+    t = 233.0 + 80.0 * rng.random(256)
+    td = t - 25.0 * rng.random(256)
+    p = 150.0 + 900.0 * rng.random(256)
+    fused = thermo.mixing_ratio(t, td, p)
+    rh = thermo.relative_humidity_from_dewpoint(t, td)
+    chain = thermo.mixing_ratio_from_relative_humidity(p, t, rh)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(chain),
+                               rtol=1e-12)
