@@ -118,6 +118,7 @@ def wait_for_backend(tries=8, probe_timeout=75, compile_probe=True):
     probe = 'import jax; jax.devices()'
     cprobe = ('import jax, jax.numpy as jnp; '
               'jax.jit(lambda x: x * 2.0)(jnp.zeros((8,), jnp.float32))')
+    device_ok = False
     for i in range(tries):
         try:
             r = subprocess.run(
@@ -125,14 +126,16 @@ def wait_for_backend(tries=8, probe_timeout=75, compile_probe=True):
                 timeout=probe_timeout, capture_output=True)
             if r.returncode == 0:
                 log(f'backend probe ok (attempt {i + 1})')
+                device_ok = True
                 break
             log(f'backend probe exit {r.returncode} (attempt {i + 1})')
         except subprocess.TimeoutExpired:
             log(f'backend probe timed out (attempt {i + 1})')
-    else:
-        log('backend probe never succeeded; proceeding anyway')
+    if not device_ok:
+        log('backend probe never succeeded')
+        return False
     if not compile_probe:
-        return
+        return True
     for i in range(tries):
         try:
             r = subprocess.run(
@@ -140,15 +143,29 @@ def wait_for_backend(tries=8, probe_timeout=75, compile_probe=True):
                 timeout=probe_timeout * 2, capture_output=True)
             if r.returncode == 0:
                 log(f'compile probe ok (attempt {i + 1})')
-                return
+                return True
             log(f'compile probe exit {r.returncode} (attempt {i + 1})')
         except subprocess.TimeoutExpired:
             log(f'compile probe timed out (attempt {i + 1})')
     log('compile probe never succeeded; proceeding anyway')
+    return True
 
 
 def main():
-    wait_for_backend()
+    if not wait_for_backend():
+        # The tunnel backend is hard-down (device listing never answered in
+        # ~10 min of killable probes).  Entering jax would hang forever;
+        # emit a parseable result recording the outage instead.
+        print(json.dumps({
+            'metric': 'conv_properties_pipeline_columns_per_sec',
+            'value': None,
+            'unit': 'columns/sec/chip (90-level, ~20-var pipeline, fp32)',
+            'vs_baseline': None,
+            'extra': {'error': 'TPU backend unreachable '
+                               '(axon tunnel down; device probe never '
+                               'answered)'},
+        }), flush=True)
+        return
 
     import jax
     import jax.numpy as jnp
