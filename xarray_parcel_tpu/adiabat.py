@@ -184,20 +184,41 @@ def build_lookup(curves):
     return jax.lax.map(per_pressure, curves.T, batch_size=128)
 
 
-# Spectral curve representation: Chebyshev coefficients of T(ln p) per
-# curve.  Evaluating a blended coefficient row on the VPU replaces per-level
-# random gathers from the 126 MB curve table with one contiguous ~200 B row
-# gather per column — the decisive TPU optimisation for the profile hot path.
-N_COEF = 48
+# Spectral curve representation: PIECEWISE Chebyshev coefficients of
+# T(ln p) per curve.  Evaluating a blended coefficient row on the VPU
+# replaces per-level random gathers from the 126 MB curve table with one
+# contiguous ~170 B row gather per column — the decisive TPU optimisation
+# for the profile hot path.
+#
+# Why piecewise: the curves' global Chebyshev convergence is slow
+# (~0.80/term, basis-independent — ln p, Exner and theta-factored bases
+# all measured identical, benchmarks/spectral_basis_study.py) because the
+# pseudoadiabat has a migrating high-curvature locus (near the surface for
+# cold curves, 50-300 hPa for warm ones).  A global fit needs K=48 for
+# 1.2e-4 K; three segments split at 50 and 230 hPa reach 6.7e-5 K with 14
+# terms each (benchmarks/spectral_piecewise_study.py).  In the fused
+# kernel the evaluation costs (3 + N_SEG - 1) vector ops per term — the
+# two extra selects pick each element's segment coefficient — so the
+# Clenshaw block shrinks from ~149 to ~81 ops, ~12% of the whole
+# VPU-issue-bound solve (results/op_mix_r4.json).
+N_SEG = 3
+SEG_K = 14
+N_COEF = N_SEG * SEG_K
+SEG_SPLITS = (50.0, 230.0)        # hPa, interior segment boundaries
 _LNP_LO = float(np.log(P_BOT))
 _LNP_HI = float(np.log(P_TOP))
+# Ascending log-pressure segment bounds: segment 0 covers the lowest
+# pressures, segment N_SEG-1 ends at P_TOP.
+_SEG_LNP = (_LNP_LO,) + tuple(float(np.log(s)) for s in SEG_SPLITS) + \
+    (_LNP_HI,)
 
 
-def _cheb_nodes(n_coef):
-    """Chebyshev-Gauss nodes mapped to log-pressure, descending in p."""
+def _cheb_nodes(n_coef, lo=_LNP_LO, hi=_LNP_HI):
+    """Chebyshev-Gauss nodes mapped to [lo, hi] log-pressure, descending
+    in p."""
     i = np.arange(n_coef)
     u = np.cos(np.pi * (i + 0.5) / n_coef)          # 1 -> -1
-    lnp = 0.5 * (_LNP_HI + _LNP_LO) + 0.5 * (_LNP_HI - _LNP_LO) * u
+    lnp = 0.5 * (hi + lo) + 0.5 * (hi - lo) * u
     return u, lnp
 
 
@@ -210,51 +231,91 @@ def _cheb_transform_matrix(n_coef):
     return M
 
 
-def build_spectral(dtype=jnp.float32, n_coef=N_COEF, n_substeps=64):
-    """Chebyshev-fit every curve by integrating the ODE through the Gauss
-    nodes (no resampling error from the 0.5 hPa grid) and transforming on the
-    MXU.  Returns (N_CURVES, n_coef)."""
-    _, lnp_nodes = _cheb_nodes(n_coef)
+def build_spectral(dtype=jnp.float32, seg_k=SEG_K, n_substeps=64):
+    """Chebyshev-fit every curve per segment by integrating the ODE through
+    the union of all segments' Gauss nodes (no resampling error from the
+    0.5 hPa grid) and transforming on the MXU.
+
+    Returns (N_CURVES, N_SEG * seg_k): segment 0 (lowest pressures) first,
+    each segment's ``seg_k`` coefficients contiguous.
+    """
+    per_seg = [_cheb_nodes(seg_k, _SEG_LNP[s], _SEG_LNP[s + 1])[1]
+               for s in range(N_SEG)]
+    lnp_nodes = np.concatenate(per_seg)
+    order = np.argsort(-lnp_nodes)                  # integrate descending p
+    lnp_sorted = lnp_nodes[order]
     t0 = curve_start_temperatures(dtype)
 
     segs = jnp.asarray(
-        np.stack([np.concatenate([[np.log(P_TOP)], lnp_nodes[:-1]]),
-                  lnp_nodes], axis=1), dtype)
+        np.stack([np.concatenate([[np.log(P_TOP)], lnp_sorted[:-1]]),
+                  lnp_sorted], axis=1), dtype)
 
     def step(t, seg):
         t_new = integrate_between(t, seg[0], seg[1], n_substeps=n_substeps)
         return t_new, t_new
 
-    _, t_nodes = jax.lax.scan(step, t0, segs)       # (n_coef, N_CURVES)
-    M = jnp.asarray(_cheb_transform_matrix(n_coef), dtype)
-    coeffs = jnp.matmul(M, t_nodes, precision='highest')
-    return coeffs.T.astype(dtype)                   # (N_CURVES, n_coef)
+    _, t_sorted = jax.lax.scan(step, t0, segs)      # (nodes, N_CURVES)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    t_nodes = t_sorted[jnp.asarray(inv)]            # original node order
+    M = jnp.asarray(_cheb_transform_matrix(seg_k), dtype)
+    coeffs = [jnp.matmul(M, t_nodes[s * seg_k:(s + 1) * seg_k],
+                         precision='highest').T
+              for s in range(N_SEG)]
+    return jnp.concatenate(coeffs, axis=-1).astype(dtype)
 
 
 def _eval_spectral(coeffs, pressure, log_pressure=None, axis=-1):
-    """Clenshaw evaluation of per-column Chebyshev coefficients (…, K) at
-    per-level pressures (…, L) — pure VPU arithmetic, fuses under XLA.
+    """Piecewise-Clenshaw evaluation of per-column segment-Chebyshev
+    coefficients (…, N_SEG*seg_k) at per-level pressures (…, L) — pure VPU
+    arithmetic (each term: one select per interior boundary to pick the
+    element's segment coefficient, plus the usual mul/add/sub), fuses
+    under XLA and lowers in Mosaic (float-operand selects only).
     ``log_pressure``: optional precomputed ``log(pressure)``.
     ``axis``: level axis of ``pressure``; with ``axis == 0`` (the fused
     kernel's columns-on-lanes layout) ``coeffs`` is (K, …batch) and
     ``pressure`` (L, …batch), and coefficient k broadcasts natively."""
     lnp = log_pressure if log_pressure is not None else jnp.log(pressure)
-    # Constant divisor folded to a multiply at trace time (Mosaic does not
-    # canonicalise division, and VPU divide is multi-cycle).
-    scale = 2.0 / (_LNP_HI - _LNP_LO)
-    shift = (_LNP_HI + _LNP_LO) / (_LNP_HI - _LNP_LO)
-    u = jnp.clip(lnp * scale - shift, -1.0, 1.0)
     if axis == -1:
         coef = lambda k: coeffs[..., k:k + 1]
+        K_tot = coeffs.shape[-1]
     else:
         coef = lambda k: coeffs[k]
-    K = coeffs.shape[0 if axis == 0 else -1]
+        K_tot = coeffs.shape[0]
+    seg_k = K_tot // N_SEG
+    assert seg_k * N_SEG == K_tot, (K_tot, N_SEG)
+
+    # Segment membership masks (N_SEG - 1 compares) and the per-element
+    # affine map to the segment's [-1, 1].  Constant divisors folded to
+    # multiplies at trace time (Mosaic does not canonicalise division,
+    # and VPU divide is multi-cycle).
+    in_low = [lnp < _SEG_LNP[s + 1] for s in range(N_SEG - 1)]
+
+    def select_seg(values):
+        # values[s] per segment; nested float-operand selects, innermost
+        # segment last (elements below split s take values[s]).
+        out = values[N_SEG - 1]
+        for s in range(N_SEG - 2, -1, -1):
+            out = jnp.where(in_low[s], values[s], out)
+        return out
+
+    scales = [2.0 / (_SEG_LNP[s + 1] - _SEG_LNP[s]) for s in range(N_SEG)]
+    shifts = [(_SEG_LNP[s + 1] + _SEG_LNP[s]) /
+              (_SEG_LNP[s + 1] - _SEG_LNP[s]) for s in range(N_SEG)]
+    dt = jnp.asarray(lnp).dtype
+    scale = select_seg([jnp.asarray(s, dt) for s in scales])
+    shift = select_seg([jnp.asarray(s, dt) for s in shifts])
+    u = jnp.clip(lnp * scale - shift, -1.0, 1.0)
+
+    def seg_coef(k):
+        return select_seg([coef(s * seg_k + k) for s in range(N_SEG)])
+
     b1 = jnp.zeros_like(u)
     b2 = jnp.zeros_like(u)
     two_u = 2.0 * u
-    for k in range(K - 1, 0, -1):
-        b1, b2 = coef(k) + two_u * b1 - b2, b1
-    return coef(0) + u * b1 - b2
+    for k in range(seg_k - 1, 0, -1):
+        b1, b2 = seg_coef(k) + two_u * b1 - b2, b1
+    return seg_coef(0) + u * b1 - b2
 
 
 class AdiabatTables:
@@ -265,8 +326,9 @@ class AdiabatTables:
     pointwise wet-bulb path).
     ``lookup``: (N_PRES, N_TEMP) float32 — fractional curve index at a (p, T)
     cell, NaN where no curve passes.
-    ``coeffs``: (N_CURVES, N_COEF) float — Chebyshev coefficients of
-    T(ln p) per curve (the profile hot path).
+    ``coeffs``: (N_CURVES, N_COEF) float — piecewise Chebyshev
+    coefficients of T(ln p) per curve, N_SEG segments of SEG_K terms
+    each (the profile hot path).
     """
 
     def __init__(self, curves, lookup, coeffs=None):
@@ -302,6 +364,12 @@ class AdiabatTables:
             curves = np.asarray(f['curves'])
             lookup = np.asarray(f['lookup'])
             coeffs = np.asarray(f['coeffs']) if 'coeffs' in f else None
+            # A cache built under a different spectral representation
+            # (e.g. the pre-piecewise global K=48 fit) keeps its curves and
+            # lookup — those are representation-independent — but its
+            # coefficients are rebuilt (seconds of CPU scan work).
+            if coeffs is not None and coeffs.shape[-1] != N_COEF:
+                coeffs = None
             if dtype is not None:
                 curves = curves.astype(dtype)
                 coeffs = None if coeffs is None else coeffs.astype(dtype)
@@ -371,7 +439,20 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
         for cand in candidates:
             if os.path.exists(cand) and \
                     _stored_dtype(cand).itemsize >= desired.itemsize:
+                with np.load(cand) as f:
+                    stale_coeffs = ('coeffs' not in f or
+                                    f['coeffs'].shape[-1] != N_COEF)
                 _DEFAULT_TABLES = AdiabatTables.load(cand, dtype=desired)
+                # Refresh a managed cache whose spectral representation is
+                # stale so later processes (and the TPU bench, where a
+                # rebuild costs a remote compile) load it directly.  Only
+                # same-dtype refreshes: loading a wide cache narrow must
+                # never overwrite the wide file with narrowed tables.
+                if (stale_coeffs and
+                        _stored_dtype(cand) == desired and
+                        os.path.dirname(os.path.abspath(cand)) ==
+                        _CACHE_DIR):
+                    _DEFAULT_TABLES.save(cand)
                 _DEFAULT_SOURCE = path
                 return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
