@@ -152,3 +152,64 @@ def test_moist_lapse_pointwise_default_parcel_pressure(tables):
     out = adiabat.moist_lapse(p, t, tables=tables)
     assert out.shape == (3, 4)
     assert_array_almost_equal(np.asarray(out), np.asarray(t), 3)
+
+
+def test_spectral_segment_continuity(tables):
+    # The piecewise fit is three independent Chebyshev series; adjacent
+    # segments may disagree at a shared boundary only by ~the fit error
+    # (6.7e-5 K over the envelope, spectral_piecewise_study.py), never by
+    # a visible jump that could seed a spurious crossing in the solver.
+    eps = 1e-4
+    rows = tables.coeffs[::997]                       # sample of curves
+    for split in adiabat.SEG_SPLITS:
+        lo = adiabat._eval_spectral(rows, jnp.asarray([split - eps]))
+        hi = adiabat._eval_spectral(rows, jnp.asarray([split + eps]))
+        jump = np.abs(np.asarray(lo) - np.asarray(hi))
+        assert np.nanmax(jump) < 3e-4, (split, float(np.nanmax(jump)))
+
+
+def test_spectral_matches_exact_ode(tables):
+    # End-to-end accuracy of the piecewise representation against the
+    # backward-RK4 oracle at random interior (curve, pressure) pairs.
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, tables.coeffs.shape[0], 16)
+    ps = rng.uniform(adiabat.P_BOT + 1.0, adiabat.P_TOP - 1.0, 16)
+    t0 = adiabat.curve_start_temperatures(tables.curves.dtype)
+    lnp_top = float(np.log(adiabat.P_TOP))
+    for i, p in zip(idx, ps):
+        exact = float(adiabat.integrate_between(
+            t0[i], jnp.asarray(lnp_top), jnp.log(jnp.asarray(p)),
+            n_substeps=512))
+        spec = float(adiabat._eval_spectral(tables.coeffs[i],
+                                            jnp.asarray([p]))[0])
+        assert abs(spec - exact) < 5e-4, (int(i), float(p), spec, exact)
+
+
+def test_stale_spectral_cache_rebuilds(tmp_path, monkeypatch):
+    # A cache written under the old global K=48 representation keeps its
+    # curves/lookup but must rebuild the coefficients on load.
+    path = str(tmp_path / 'stale.npz')
+    np.savez_compressed(path,
+                        curves=np.ones((5, 7), np.float32),
+                        lookup=np.ones((7, 3), np.float32),
+                        coeffs=np.zeros((5, 48), np.float32))
+    calls = []
+
+    def fake_build(dtype=None, **kw):
+        calls.append(dtype)
+        return jnp.zeros((5, adiabat.N_COEF),
+                         dtype or jnp.float32)
+
+    monkeypatch.setattr(adiabat, 'build_spectral', fake_build)
+    loaded = adiabat.AdiabatTables.load(path)
+    assert calls, 'stale 48-wide coefficients were not rebuilt'
+    assert loaded.coeffs.shape == (5, adiabat.N_COEF)
+    # A current-shape cache loads without rebuilding.
+    path2 = str(tmp_path / 'fresh.npz')
+    np.savez_compressed(path2,
+                        curves=np.ones((5, 7), np.float32),
+                        lookup=np.ones((7, 3), np.float32),
+                        coeffs=np.zeros((5, adiabat.N_COEF), np.float32))
+    calls.clear()
+    loaded2 = adiabat.AdiabatTables.load(path2)
+    assert not calls and loaded2.coeffs.shape == (5, adiabat.N_COEF)
