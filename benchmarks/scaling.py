@@ -55,7 +55,10 @@ def main():
                               'sec_per_iter': round(sec, 6)}), flush=True)
         if n in (256, 512):
             dat = {k: jnp.asarray(v) for k, v in synthetic(B).items()}
-            rate, sec = columns_per_second(pipe, dat, columns=B, iters=3)
+            # One jitted program -> one-leaf sync; per-leaf syncing pays
+            # a serialized tunnel round trip per output variable.
+            rate, sec = columns_per_second(pipe, dat, columns=B, iters=3,
+                                           single_program=True)
             print(json.dumps({'grid': f'{n}x{n}', 'columns': B,
                               'arm': 'pipeline_fused',
                               'columns_per_sec': round(rate, 1),

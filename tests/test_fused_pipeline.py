@@ -68,3 +68,17 @@ def test_min_conv_properties(tables, dat):
         np.testing.assert_allclose(np.asarray(out[k])[valid],
                                    np.asarray(full[k])[valid],
                                    atol=1e-6, err_msg=k)
+
+
+def test_min_conv_properties_fused_matches_modular(tables, dat):
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    got = pipeline.min_conv_properties_fused(dat, tables=tables)
+    assert set(got) == set(ref)
+    for k in sorted(ref):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-6, rtol=1e-9, err_msg=k)

@@ -72,6 +72,15 @@ def test_min_conv_properties_dataset(dat):
     assert out.mixed_100_cape.dims == ('latitude', 'longitude')
 
 
+def test_min_conv_properties_fused_dataset(dat):
+    ref = xarray_api.min_conv_properties(dat)
+    out = xarray_api.min_conv_properties_fused(dat)
+    assert set(out.data_vars) == set(ref.data_vars)
+    np.testing.assert_allclose(np.asarray(out.mixed_100_cape),
+                               np.asarray(ref.mixed_100_cape),
+                               atol=1e-6, equal_nan=True)
+
+
 def test_surface_cape_fused_vs_unfused(dat_dew):
     a = xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=True)
     b = xarray_api.surface_based_cape_cin_dataset(dat_dew, fused=False)

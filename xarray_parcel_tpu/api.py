@@ -32,7 +32,8 @@ from .parcels import (from_most_unstable_parcel, mix_layer, mixed_layer,
 from .parcels import (mixed_layer_cape_cin as _ml_cape_cin,
                       most_unstable_cape_cin as _mu_cape_cin)
 from .pipeline import (conv_properties, conv_properties_fused,
-                       min_conv_properties, storm_proxies)
+                       min_conv_properties, min_conv_properties_fused,
+                       storm_proxies)
 from .thermo import (dewpoint_from_specific_humidity, mixing_ratio,
                      virtual_temperature, wet_bulb_temperature_fast)
 

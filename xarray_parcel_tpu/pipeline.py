@@ -229,6 +229,53 @@ def min_conv_properties(dat, tables=None, moist_lapse=None,
     return annotate(out) if with_attrs else out
 
 
+def min_conv_properties_fused(dat, tables=None, with_attrs=False,
+                              in_kernel_li=True, layout='rows'):
+    """``min_conv_properties`` on the fused-Pallas production path
+    (reference: modules/parcel_functions.py:1872-1949).
+
+    Same variables, same semantics as the modular reduced pipeline
+    (including its lack of a valid-column mask — NaN columns propagate
+    through the kernel's NaN contract); the mixed-100 CAPE/CIN solve and
+    its lifted index run inside one fused kernel instead of materialising
+    the parcel profile.
+    """
+    from . import fused as _fused
+    from .parcels import mix_layer
+
+    p = jnp.asarray(dat['pressure'])
+    t = jnp.asarray(dat['temperature'])
+    q = jnp.asarray(dat['specific_humidity'])
+    dew = thermo.dewpoint_from_specific_humidity(p, t, q)
+
+    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0)
+    res, _ = _fused.fused_cape_cin(
+        m100_fields['pressure'], m100_fields['temperature'],
+        m100_fields['dewpoint'],
+        parcel_pressure=m100_parcel['pressure'],
+        parcel_temperature=m100_parcel['temperature'],
+        parcel_dewpoint=m100_parcel['dewpoint'],
+        tables=tables, with_lifted_index=in_kernel_li,
+        with_profile=not in_kernel_li, layout=layout)
+    if not in_kernel_li:
+        res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
+            'lifted_index']
+
+    height = jnp.asarray(dat['height_asl'])
+    out = {'mixed_100_cape': res['cape'], 'mixed_100_cin': res['cin'],
+           'mixed_100_lifted_index': res['lifted_index'],
+           'lapse_rate_700_500': diag.lapse_rate(p, t, height),
+           'temp_500': diag.isobar_temperature(p, t, 500.0),
+           'freezing_level': diag.freezing_level_height(t, height),
+           'melting_level': diag.melting_level_height(p, t, dew, height,
+                                                      fast=True)[0]}
+    out.update(diag.wind_shear(dat['surface_wind_u'], dat['surface_wind_v'],
+                               dat['wind_u'], dat['wind_v'],
+                               dat['wind_height_above_surface'],
+                               shear_height=6000.0))
+    return annotate(out) if with_attrs else out
+
+
 def storm_proxies(dat, with_attrs=False):
     """Literature storm-proxy booleans + SHIP
     (reference: modules/parcel_functions.py:2323-2407).

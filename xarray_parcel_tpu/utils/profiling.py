@@ -15,19 +15,27 @@ import jax
 import numpy as np
 
 
-def sync(out):
+def sync(out, single_program=False):
     """Force device work to truly finish.
 
     ``jax.block_until_ready`` alone is not reliable on every backend (the
     remote-tunnel TPU backend returns early); reading one element of one
     output is, because a compiled program completes atomically.
+
+    ``single_program``: all leaves come from ONE dispatched program (e.g.
+    the output pytree of a single jitted call), so reading one element of
+    one leaf proves the whole tree finished.  Leave False when leaves may
+    come from separate dispatches (each completes independently).  On the
+    remote-tunnel backend every readback is a serialized ~25 ms round
+    trip, so per-leaf syncing a 21-variable pipeline output charges ~0.5 s
+    of pure latency against the measurement.
     """
     jax.block_until_ready(out)
-    # One element of EVERY leaf: leaves may come from separate dispatched
-    # programs, each of which completes independently.
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, 'ravel') and getattr(leaf, 'size', 0):
             np.asarray(leaf.ravel()[0:1])
+            if single_program:
+                break
     return out
 
 
@@ -41,11 +49,15 @@ def time_function(f, *args, **kwargs):
     return res, time.perf_counter() - start
 
 
-def columns_per_second(f, *args, columns=None, iters=5, warmup=1, **kwargs):
+def columns_per_second(f, *args, columns=None, iters=5, warmup=1,
+                       single_program=False, **kwargs):
     """Steady-state throughput of ``f`` in columns/sec.
 
     ``columns`` defaults to the leading-dims product of the first array
     argument (all batch dims = columns, the framework's unit of work).
+    ``single_program``: see ``sync`` — set it when ``f`` is one jitted
+    call so multi-output syncing doesn't pay one tunnel round trip per
+    output variable.
     Returns (columns_per_sec, seconds_per_iter).
     """
     if columns is None:
@@ -54,11 +66,11 @@ def columns_per_second(f, *args, columns=None, iters=5, warmup=1, **kwargs):
         for d in first.shape[:-1]:
             columns *= d
     for _ in range(warmup):
-        sync(f(*args, **kwargs))
+        sync(f(*args, **kwargs), single_program=single_program)
     t0 = time.perf_counter()
     outs = [f(*args, **kwargs) for _ in range(iters)]
     for out in outs:
-        sync(out)
+        sync(out, single_program=single_program)
     sec = (time.perf_counter() - t0) / iters
     return columns / sec, sec
 

@@ -310,6 +310,8 @@ def _dataset_pipeline(fn):
 conv_properties = _dataset_pipeline(_pipeline.conv_properties)
 conv_properties_fused = _dataset_pipeline(_pipeline.conv_properties_fused)
 min_conv_properties = _dataset_pipeline(_pipeline.min_conv_properties)
+min_conv_properties_fused = _dataset_pipeline(
+    _pipeline.min_conv_properties_fused)
 
 
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
