@@ -61,7 +61,9 @@ def old_eval_spectral(coeffs, pressure, log_pressure=None, axis=-1):
 
 def fit_global_coeffs(curves, n_coef=48):
     """Global K-term Chebyshev fit of every curve from the dense table."""
-    lnp_grid = np.log(np.asarray(adiabat.pressure_grid(jnp.float64)))
+    # Host-side copy of adiabat.pressure_grid (asking the device path for
+    # f64 in a non-x64 process only triggers a truncation warning).
+    lnp_grid = np.log(np.round(np.arange(1100.0, 2.0, -0.5), 1))
     i = np.arange(n_coef)
     u = np.cos(np.pi * (i + 0.5) / n_coef)
     lnp_nodes = 0.5 * (adiabat._LNP_HI + adiabat._LNP_LO) + \
