@@ -1,13 +1,15 @@
 """How much of the fused CAPE solve is Chebyshev (Clenshaw) evaluation?
 
-Diagnostic A/B: the production fused kernel with the full K=48 coefficient
-table vs the SAME kernel compiled with the table truncated to K=12.  The
+Diagnostic A/B: the production fused kernel with the full piecewise
+coefficient table (N_SEG segments x SEG_K=14 terms) vs the SAME kernel
+compiled with every segment truncated to SEG_K_TRUNC terms.  The
 truncated arm's outputs are physically meaningless — only its timing is
 read.  Everything outside `_eval_spectral`'s Clenshaw loop is identical
-between the arms, so the rate delta isolates (48-12)/47 of the in-kernel
-Clenshaw cost; scaling it up gives the full Clenshaw share.  That share
-bounds the payoff of any spectral-evaluation optimisation (domain-split
-tables, truncation, basis reuse) before building one.
+between the arms, so the rate delta isolates
+(SEG_K - SEG_K_TRUNC)/(SEG_K - 1) of the in-kernel Clenshaw cost; scaling
+it up gives the full Clenshaw share.  That share bounds the payoff of any
+spectral-evaluation optimisation (further splits, truncation, basis
+reuse) before building one.
 
 Timing rounds interleave the arms in alternating order to cancel the
 ~5 ms second-arm bias measured in benchmarks/reduction_ab.py.
@@ -24,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-K_TRUNC = 12
+SEG_K_TRUNC = 4
 B = 1 << 19
 ROUNDS = 8
 ITERS = 3
@@ -40,9 +42,13 @@ def main():
 
     tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
     tables = jax.tree_util.tree_map(jax.device_put, tables)
-    k_full = int(tables.coeffs.shape[-1])
+    seg_k = adiabat.SEG_K
+    # Truncate each SEGMENT's series (keeping the piecewise layout valid):
+    # (N, N_SEG*SEG_K) -> (N, N_SEG, SEG_K) -> [:, :, :t] -> flat.
+    n = tables.coeffs.shape[0]
+    cut = tables.coeffs.reshape(n, adiabat.N_SEG, seg_k)[:, :, :SEG_K_TRUNC]
     trunc = adiabat.AdiabatTables(tables.curves, tables.lookup,
-                                  tables.coeffs[:, :K_TRUNC])
+                                  cut.reshape(n, -1))
 
     p, t, td = (jnp.asarray(v) for v in _synthetic_columns((B,)))
     arms = {
@@ -71,10 +77,12 @@ def main():
 
     sec = {name: v / (ROUNDS * ITERS) for name, v in total.items()}
     delta = sec['full'] - sec['trunc']
-    # Clenshaw runs K-1 mul-add iterations; delta covers k_full - K_TRUNC.
-    clenshaw_sec = delta * (k_full - 1) / (k_full - K_TRUNC)
+    # The piecewise Clenshaw runs seg_k-1 loop iterations (each term costs
+    # the same 3 arith + N_SEG-1 selects in both arms); delta covers
+    # seg_k - SEG_K_TRUNC of them.
+    clenshaw_sec = delta * (seg_k - 1) / (seg_k - SEG_K_TRUNC)
     print(json.dumps({
-        'batch': B, 'k_full': k_full, 'k_trunc': K_TRUNC,
+        'batch': B, 'seg_k_full': seg_k, 'seg_k_trunc': SEG_K_TRUNC,
         'sec_full': round(sec['full'], 6),
         'sec_trunc': round(sec['trunc'], 6),
         'delta_sec': round(delta, 6),

@@ -91,6 +91,11 @@ def main():
         ([40.0, 200.0], (12, 18, 14)),
         ([130.0], (28, 18)),
         ([100.0], (24, 18)),
+        # The ADOPTED production configuration (adiabat.SEG_SPLITS /
+        # SEG_K): uniform K avoids zero-padding and the memoized sweep
+        # found it cheapest at better-than-global accuracy.
+        ([50.0, 230.0], (14, 14, 14)),
+        ([50.0, 230.0], (13, 13, 13)),
     ]
     for splits_hpa, Ks in cands:
         splits = sorted(np.log(s) for s in splits_hpa)

@@ -354,25 +354,39 @@ class AdiabatTables:
                              else self.coeffs.astype(dtype))
 
     def save(self, path):
-        np.savez_compressed(path, curves=np.asarray(self.curves),
-                            lookup=np.asarray(self.lookup),
-                            coeffs=np.asarray(self.coeffs))
+        # Atomic: the compressed write takes minutes on a 1-core host and
+        # may target an existing valid cache (the stale-coeffs refresh) —
+        # an interrupt mid-write must never leave a corrupt npz behind.
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:      # file handle: savez cannot append
+            np.savez_compressed(f,      # its .npz suffix to the temp name
+                                curves=np.asarray(self.curves),
+                                lookup=np.asarray(self.lookup),
+                                coeffs=np.asarray(self.coeffs))
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path, dtype=None):
         with np.load(path) as f:
-            curves = np.asarray(f['curves'])
-            lookup = np.asarray(f['lookup'])
-            coeffs = np.asarray(f['coeffs']) if 'coeffs' in f else None
-            # A cache built under a different spectral representation
-            # (e.g. the pre-piecewise global K=48 fit) keeps its curves and
-            # lookup — those are representation-independent — but its
-            # coefficients are rebuilt (seconds of CPU scan work).
-            if coeffs is not None and coeffs.shape[-1] != N_COEF:
-                coeffs = None
-            if dtype is not None:
-                curves = curves.astype(dtype)
-                coeffs = None if coeffs is None else coeffs.astype(dtype)
+            arrays = {k: np.asarray(f[k]) for k in f.files}
+        return cls._from_arrays(arrays, dtype=dtype)
+
+    @classmethod
+    def _from_arrays(cls, arrays, dtype=None):
+        """Build from a dict of host arrays (one npz decompression —
+        callers that also inspect dtype/staleness reuse the same dict)."""
+        curves = arrays['curves']
+        lookup = arrays['lookup']
+        coeffs = arrays.get('coeffs')
+        # A cache built under a different spectral representation
+        # (e.g. the pre-piecewise global K=48 fit) keeps its curves and
+        # lookup — those are representation-independent — but its
+        # coefficients are rebuilt (seconds of CPU scan work).
+        if coeffs is not None and coeffs.shape[-1] != N_COEF:
+            coeffs = None
+        if dtype is not None:
+            curves = curves.astype(dtype)
+            coeffs = None if coeffs is None else coeffs.astype(dtype)
         if coeffs is None:
             coeffs = build_spectral(dtype=dtype or curves.dtype)
         return cls(jnp.asarray(curves), jnp.asarray(lookup),
@@ -437,24 +451,29 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
             os.path.join(_CACHE_DIR, 'adiabat_tables.npz')]
     if not regenerate:
         for cand in candidates:
-            if os.path.exists(cand) and \
-                    _stored_dtype(cand).itemsize >= desired.itemsize:
-                with np.load(cand) as f:
-                    stale_coeffs = ('coeffs' not in f or
-                                    f['coeffs'].shape[-1] != N_COEF)
-                _DEFAULT_TABLES = AdiabatTables.load(cand, dtype=desired)
-                # Refresh a managed cache whose spectral representation is
-                # stale so later processes (and the TPU bench, where a
-                # rebuild costs a remote compile) load it directly.  Only
-                # same-dtype refreshes: loading a wide cache narrow must
-                # never overwrite the wide file with narrowed tables.
-                if (stale_coeffs and
-                        _stored_dtype(cand) == desired and
-                        os.path.dirname(os.path.abspath(cand)) ==
-                        _CACHE_DIR):
-                    _DEFAULT_TABLES.save(cand)
-                _DEFAULT_SOURCE = path
-                return _DEFAULT_TABLES
+            if not os.path.exists(cand):
+                continue
+            # One decompression per candidate: dtype check, staleness
+            # check and table construction all share the same arrays.
+            with np.load(cand) as f:
+                arrays = {k: np.asarray(f[k]) for k in f.files}
+            stored = arrays['curves'].dtype
+            if stored.itemsize < desired.itemsize:
+                continue
+            stale_coeffs = ('coeffs' not in arrays or
+                            arrays['coeffs'].shape[-1] != N_COEF)
+            _DEFAULT_TABLES = AdiabatTables._from_arrays(arrays,
+                                                         dtype=desired)
+            # Refresh a managed cache whose spectral representation is
+            # stale so later processes (and the TPU bench, where a
+            # rebuild costs a remote compile) load it directly.  Only
+            # same-dtype refreshes: loading a wide cache narrow must
+            # never overwrite the wide file with narrowed tables.
+            if (stale_coeffs and stored == desired and
+                    os.path.dirname(os.path.abspath(cand)) == _CACHE_DIR):
+                _DEFAULT_TABLES.save(cand)
+            _DEFAULT_SOURCE = path
+            return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
     # The resident-tables key stays the RESOLVED path so the next in-process
     # call with the same cache settings hits the resident check.

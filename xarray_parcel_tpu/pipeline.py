@@ -109,6 +109,24 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
     return annotate(out) if with_attrs else out
 
 
+def _fused_solve(fields, parcel, tables, in_kernel_li, layout):
+    """One fused CAPE/CIN solve + lifted index for an arbitrary parcel —
+    in-kernel LI by default, else LI interpolated from the kernel's
+    profile tracks in XLA.  Shared by the fused pipelines."""
+    from . import fused as _fused
+    res, _ = _fused.fused_cape_cin(
+        fields['pressure'], fields['temperature'], fields['dewpoint'],
+        parcel_pressure=parcel['pressure'],
+        parcel_temperature=parcel['temperature'],
+        parcel_dewpoint=parcel['dewpoint'],
+        tables=tables, with_lifted_index=in_kernel_li,
+        with_profile=not in_kernel_li, layout=layout)
+    if not in_kernel_li:
+        res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
+            'lifted_index']
+    return res
+
+
 def conv_properties_fused(dat, ignore_nans=False, tables=None,
                           with_attrs=False, in_kernel_li=True,
                           layout='rows'):
@@ -123,7 +141,6 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
     interpolation anchors, no profile materialisation); off, profile tracks
     come out of the kernel and the LI interpolates them in XLA.
     """
-    from . import fused as _fused
     from .parcels import (bridge_neighbors, from_most_unstable_parcel,
                           mix_layer)
 
@@ -136,17 +153,7 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
               jnp.isnan(t).any(-1) | jnp.isnan(q).any(-1))
 
     def solve(fields, parcel):
-        res, _ = _fused.fused_cape_cin(
-            fields['pressure'], fields['temperature'], fields['dewpoint'],
-            parcel_pressure=parcel['pressure'],
-            parcel_temperature=parcel['temperature'],
-            parcel_dewpoint=parcel['dewpoint'],
-            tables=tables, with_lifted_index=in_kernel_li,
-            with_profile=not in_kernel_li, layout=layout)
-        if not in_kernel_li:
-            res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
-                'lifted_index']
-        return res
+        return _fused_solve(fields, parcel, tables, in_kernel_li, layout)
 
     mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew, depth=250.0)
     mu = solve(mu_fields, mu_parcel)
@@ -240,7 +247,6 @@ def min_conv_properties_fused(dat, tables=None, with_attrs=False,
     its lifted index run inside one fused kernel instead of materialising
     the parcel profile.
     """
-    from . import fused as _fused
     from .parcels import mix_layer
 
     p = jnp.asarray(dat['pressure'])
@@ -249,17 +255,8 @@ def min_conv_properties_fused(dat, tables=None, with_attrs=False,
     dew = thermo.dewpoint_from_specific_humidity(p, t, q)
 
     m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0)
-    res, _ = _fused.fused_cape_cin(
-        m100_fields['pressure'], m100_fields['temperature'],
-        m100_fields['dewpoint'],
-        parcel_pressure=m100_parcel['pressure'],
-        parcel_temperature=m100_parcel['temperature'],
-        parcel_dewpoint=m100_parcel['dewpoint'],
-        tables=tables, with_lifted_index=in_kernel_li,
-        with_profile=not in_kernel_li, layout=layout)
-    if not in_kernel_li:
-        res['lifted_index'] = diag.lifted_index(res.pop('profile'))[
-            'lifted_index']
+    res = _fused_solve(m100_fields, m100_parcel, tables, in_kernel_li,
+                       layout)
 
     height = jnp.asarray(dat['height_asl'])
     out = {'mixed_100_cape': res['cape'], 'mixed_100_cin': res['cin'],
