@@ -357,9 +357,10 @@ class AdiabatTables:
         # Atomic: the compressed write takes minutes on a 1-core host and
         # may target an existing valid cache (the stale-coeffs refresh) —
         # an interrupt mid-write must never leave a corrupt npz behind.
-        tmp = path + '.tmp'
-        with open(tmp, 'wb') as f:      # file handle: savez cannot append
-            np.savez_compressed(f,      # its .npz suffix to the temp name
+        tmp = f'{path}.{os.getpid()}.tmp'   # PID-unique: concurrent savers
+        with open(tmp, 'wb') as f:          # must not share a temp inode
+            # File handle: savez cannot append its .npz suffix to the name.
+            np.savez_compressed(f,
                                 curves=np.asarray(self.curves),
                                 lookup=np.asarray(self.lookup),
                                 coeffs=np.asarray(self.coeffs))
