@@ -310,10 +310,23 @@ def main():
             f'({B_cape / sec:.3g} cols/sec)')
         return sec
 
+    def arm_pipe_min_fused():
+        # The reduced deployment pipeline (one fused solve + scalar
+        # diagnostics — reference min_conv_properties :1872-1949).
+        @jax.jit
+        def pipe_min(dat):
+            return pipeline.min_conv_properties_fused(dat, tables=tables)
+
+        sec = time_fn(pipe_min, dat)
+        log(f'pipeline (min, fused): {sec:.3f}s/iter '
+            f'({B_pipe / sec:.3g} cols/sec)')
+        return sec
+
     sec_xla = optional_arm('cape xla', arm_cape_xla)
     sec_mod = optional_arm('pipeline modular', arm_pipe_modular)
     sec_alt = optional_arm('cape columns layout', arm_cape_columns)
     sec_sharded = optional_arm('cape sharded', arm_cape_sharded)
+    sec_min = optional_arm('pipeline min fused', arm_pipe_min_fused)
 
     print(json.dumps({
         'metric': 'conv_properties_pipeline_columns_per_sec',
@@ -335,6 +348,8 @@ def main():
                 round(B_cape / sec_alt, 1) if sec_alt else None),
             'surface_cape_cin_sharded_columns_per_sec': (
                 round(B_cape / sec_sharded, 1) if sec_sharded else None),
+            'pipeline_min_fused_columns_per_sec': (
+                round(B_pipe / sec_min, 1) if sec_min else None),
             'pipeline_batch': B_pipe,
             'cape_batch': B_cape,
             'backend': jax.default_backend(),
