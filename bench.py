@@ -324,9 +324,9 @@ def main():
 
     sec_xla = optional_arm('cape xla', arm_cape_xla)
     sec_mod = optional_arm('pipeline modular', arm_pipe_modular)
+    sec_min = optional_arm('pipeline min fused', arm_pipe_min_fused)
     sec_alt = optional_arm('cape columns layout', arm_cape_columns)
     sec_sharded = optional_arm('cape sharded', arm_cape_sharded)
-    sec_min = optional_arm('pipeline min fused', arm_pipe_min_fused)
 
     print(json.dumps({
         'metric': 'conv_properties_pipeline_columns_per_sec',

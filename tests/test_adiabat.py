@@ -213,3 +213,53 @@ def test_stale_spectral_cache_rebuilds(tmp_path, monkeypatch):
     calls.clear()
     loaded2 = adiabat.AdiabatTables.load(path2)
     assert not calls and loaded2.coeffs.shape == (5, adiabat.N_COEF)
+
+
+def test_stale_wide_cache_narrow_request_persists_default(tmp_path,
+                                                          monkeypatch):
+    # A stale (48-wide) f64 cache serving an f32 request must NOT be
+    # overwritten with narrowed tables, but the narrowed rebuild must be
+    # persisted to the dtype-keyed default path — otherwise every f32
+    # process rebuilds the spectra forever (a remote compile on TPU).
+    import os
+    monkeypatch.setattr(adiabat, '_CACHE_DIR', str(tmp_path))
+    monkeypatch.setattr(adiabat, '_DEFAULT_TABLES', None)
+    monkeypatch.setattr(adiabat, '_DEFAULT_SOURCE', None)
+    calls = []
+
+    def fake_build(dtype=None, **kw):
+        calls.append(dtype)
+        return jnp.zeros((5, adiabat.N_COEF), dtype or jnp.float32)
+
+    monkeypatch.setattr(adiabat, 'build_spectral', fake_build)
+    wide = str(tmp_path / 'adiabat_tables_f64.npz')
+    np.savez_compressed(wide, curves=np.ones((5, 7), np.float64),
+                        lookup=np.ones((7, 3), np.float32),
+                        coeffs=np.zeros((5, 48), np.float64))
+
+    tab = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
+    assert calls and tab.curves.dtype == jnp.float32
+    f32path = str(tmp_path / 'adiabat_tables_f32.npz')
+    assert os.path.exists(f32path), 'narrowed rebuild not persisted'
+    with np.load(f32path) as f:
+        assert f['coeffs'].shape[-1] == adiabat.N_COEF
+        assert f['curves'].dtype == np.float32
+    with np.load(wide) as f:
+        assert f['coeffs'].shape[-1] == 48, 'wide cache was overwritten'
+
+    # A fresh process (reset globals) now loads the f32 cache directly.
+    monkeypatch.setattr(adiabat, '_DEFAULT_TABLES', None)
+    monkeypatch.setattr(adiabat, '_DEFAULT_SOURCE', None)
+    calls.clear()
+    adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
+    assert not calls, 'second load rebuilt despite the persisted cache'
+
+
+def test_legacy_coeff_width_warns():
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        adiabat.AdiabatTables(np.ones((5, 7), np.float32),
+                              np.ones((7, 3), np.float32),
+                              np.zeros((5, 48), np.float32))
+    assert any('piecewise layout' in str(r.message) for r in rec)

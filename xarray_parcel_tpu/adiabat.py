@@ -318,6 +318,30 @@ def _eval_spectral(coeffs, pressure, log_pressure=None, axis=-1):
     return seg_coef(0) + u * b1 - b2
 
 
+def _save_npz(path, curves, lookup, coeffs):
+    """Atomic compressed save from HOST arrays.
+
+    Atomic because the write takes minutes on a 1-core host and may target
+    an existing valid cache (the stale-coeffs refresh) — an interrupt
+    mid-write must never leave a corrupt npz behind.  PID-unique temp
+    name: concurrent savers must not share a temp inode.  Host arrays so
+    refresh paths that already hold the decompressed copies don't round-
+    trip ~190 MB through a slow device->host link.
+    """
+    tmp = f'{path}.{os.getpid()}.tmp'
+    try:
+        with open(tmp, 'wb') as f:   # handle: savez cannot append .npz
+            np.savez_compressed(f, curves=curves, lookup=lookup,
+                                coeffs=coeffs)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 class AdiabatTables:
     """Device-resident moist-adiabat tables (a pytree of three arrays).
 
@@ -335,6 +359,20 @@ class AdiabatTables:
         self.curves = curves
         self.lookup = lookup
         self.coeffs = coeffs
+        # A legacy pre-piecewise global-fit table (e.g. K=48) would pass
+        # the divisibility assert in _eval_spectral (48 = 3*16) and be
+        # evaluated as three independent 16-term segment series — garbage
+        # temperatures with no error.  Warn at construction; loaders
+        # rebuild stale layouts automatically, this catches tables built
+        # or threaded by hand.  (Guarded attribute access: tree_unflatten
+        # may pass non-array sentinels during jax tree operations.)
+        width = getattr(coeffs, 'shape', (N_COEF,))[-1:]
+        if width and isinstance(width[0], int) and width[0] != N_COEF:
+            warnings.warn(
+                f'AdiabatTables.coeffs has width {width[0]}, not the '
+                f'piecewise layout N_SEG*SEG_K={N_COEF}; a pre-piecewise '
+                f'global-fit table will produce wrong temperatures — '
+                f'rebuild with AdiabatTables.build()/load().')
 
     def tree_flatten(self):
         return (self.curves, self.lookup, self.coeffs), None
@@ -354,17 +392,8 @@ class AdiabatTables:
                              else self.coeffs.astype(dtype))
 
     def save(self, path):
-        # Atomic: the compressed write takes minutes on a 1-core host and
-        # may target an existing valid cache (the stale-coeffs refresh) —
-        # an interrupt mid-write must never leave a corrupt npz behind.
-        tmp = f'{path}.{os.getpid()}.tmp'   # PID-unique: concurrent savers
-        with open(tmp, 'wb') as f:          # must not share a temp inode
-            # File handle: savez cannot append its .npz suffix to the name.
-            np.savez_compressed(f,
-                                curves=np.asarray(self.curves),
-                                lookup=np.asarray(self.lookup),
-                                coeffs=np.asarray(self.coeffs))
-        os.replace(tmp, path)
+        _save_npz(path, np.asarray(self.curves), np.asarray(self.lookup),
+                  np.asarray(self.coeffs))
 
     @classmethod
     def load(cls, path, dtype=None):
@@ -465,14 +494,29 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
                             arrays['coeffs'].shape[-1] != N_COEF)
             _DEFAULT_TABLES = AdiabatTables._from_arrays(arrays,
                                                          dtype=desired)
-            # Refresh a managed cache whose spectral representation is
-            # stale so later processes (and the TPU bench, where a
-            # rebuild costs a remote compile) load it directly.  Only
-            # same-dtype refreshes: loading a wide cache narrow must
-            # never overwrite the wide file with narrowed tables.
-            if (stale_coeffs and stored == desired and
+            # Persist the rebuilt representation so later processes (and
+            # the TPU bench, where a rebuild costs a remote compile) load
+            # it directly: a same-dtype managed cache is refreshed in
+            # place; a WIDER stored cache serving a narrower request must
+            # never be overwritten with narrowed tables — the narrowed
+            # rebuild goes to the dtype-keyed default path instead
+            # (otherwise every narrow process rebuilds forever).  The
+            # refresh is an optimisation: a read-only cache dir must not
+            # turn a successful in-memory load into a crash.
+            if (stale_coeffs and
                     os.path.dirname(os.path.abspath(cand)) == _CACHE_DIR):
-                _DEFAULT_TABLES.save(cand)
+                target = cand if stored == desired else default_path
+                try:
+                    coeffs_host = np.asarray(_DEFAULT_TABLES.coeffs)
+                    if stored == desired:
+                        cur, look = arrays['curves'], arrays['lookup']
+                    else:
+                        cur = arrays['curves'].astype(desired)
+                        look = arrays['lookup']
+                    _save_npz(target, cur, look, coeffs_host)
+                except OSError as e:
+                    warnings.warn(f'could not refresh table cache '
+                                  f'{target!r}: {e}')
             _DEFAULT_SOURCE = path
             return _DEFAULT_TABLES
     _DEFAULT_TABLES = AdiabatTables.build(dtype=desired)
