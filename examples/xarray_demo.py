@@ -115,7 +115,10 @@ def main():
     diff = float(np.nanmax(np.abs(np.asarray(streamed.mu_cape) -
                                   np.asarray(out.mu_cape))))
     print('streamed vs direct max |d mu_cape|:', diff)
-    assert diff < 1e-5
+    # Bitwise equality is pinned on the CPU backend (test_stream_map); on
+    # an fp32 accelerator the chunked shapes compile to differently fused
+    # programs and may differ by ~1 ulp of a few-hundred-J/kg CAPE.
+    assert diff < 1e-3
 
 
 if __name__ == '__main__':
