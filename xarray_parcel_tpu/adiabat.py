@@ -453,6 +453,14 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
     insufficient precision, the dtype-keyed default path is consulted as a
     fallback load candidate, and rebuilt tables are saved there rather
     than overwriting the explicit cache.
+
+    Caches whose spectral-coefficient layout is stale (a pre-piecewise
+    global fit) rebuild the coefficients on load; MANAGED caches (under
+    the package's ``adiabat_lookups/``) are then refreshed on disk —
+    in place for a same-dtype cache, to the dtype-keyed default path for
+    a wider one.  An explicit user cache is never rewritten: a stale
+    explicit cache pays the in-process rebuild every load (re-save it
+    once via ``AdiabatTables.save`` to upgrade it deliberately).
     """
     global _DEFAULT_TABLES, _DEFAULT_SOURCE
     desired = jnp.dtype(dtype or (jnp.float64 if jax.config.jax_enable_x64
