@@ -165,3 +165,31 @@ def test_layouts_agree_with_li_and_profile(tables):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
                                    atol=1e-6, err_msg=k)
+
+
+def test_fused_out_of_envelope_parcel(tables):
+    # A parcel outside the adiabat family's envelope (curve start
+    # temperatures span ~173-316 K at 1100 hPa) has no moist track: the
+    # blended coefficient row is NaN, no crossing exists, so LFC/EL are
+    # NaN and cape/cin resolve to 0 by the missing-LFC rule — never
+    # garbage — while in-envelope columns in the same batch are untouched.
+    # Fused and XLA must agree exactly on all three regimes.
+    p1 = jnp.array([959.0, 779.2, 751.3, 724.3, 700.0, 269.0])
+    t1 = jnp.array([22.2, 14.6, 12.0, 9.4, 7.0, -38.0]) + 273.15
+    td1 = jnp.array([19.0, -11.2, -10.8, -10.4, -10.0, -53.2]) + 273.15
+    p = jnp.broadcast_to(p1, (3, 6))
+    t = jnp.broadcast_to(t1, (3, 6))
+    td = jnp.broadcast_to(td1, (3, 6))
+    t = t.at[0, 0].set(400.0)               # far above the envelope
+    td = td.at[0, 0].set(399.0)
+    t = t.at[1, 0].set(150.0)               # far below it
+    td = td.at[1, 0].set(149.0)
+    res, sol = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    ref, _ = cape.surface_based_cape_cin(p, t, td, tables=tables)
+    lfc = np.asarray(sol['lfc_pressure'])
+    assert np.isnan(lfc[0]) and np.isnan(lfc[1]) and np.isfinite(lfc[2])
+    for k in ('cape', 'cin'):
+        got, want = np.asarray(res[k]), np.asarray(ref[k])
+        assert got[0] == 0.0 and got[1] == 0.0, (k, got[:2])
+        np.testing.assert_allclose(got, want, atol=1e-8, err_msg=k)
+    assert abs(float(np.asarray(res['cape'])[2]) - 230.2) < 0.5
