@@ -193,3 +193,24 @@ def test_fused_out_of_envelope_parcel(tables):
         assert got[0] == 0.0 and got[1] == 0.0, (k, got[:2])
         np.testing.assert_allclose(got, want, atol=1e-8, err_msg=k)
     assert abs(float(np.asarray(res['cape'])[2]) - 230.2) < 0.5
+
+
+def test_fused_duplicate_pressure_levels(tables):
+    # Exact duplicate pressure levels (zero-width gaps — the reference's
+    # duplicate-aware interpolation case, parcel_functions.py:1758-1828)
+    # must not produce divide-by-zero artifacts in the crossing solver;
+    # a value-identical duplicate leaves the golden answer unchanged and
+    # fused == XLA exactly either way.
+    p1 = jnp.array([959.0, 779.2, 751.3, 751.3, 724.3, 700.0, 269.0])
+    t1 = jnp.array([22.2, 14.6, 12.0, 12.0, 9.4, 7.0, -38.0]) + 273.15
+    td1 = jnp.array([19.0, -11.2, -10.8, -10.8, -10.4, -10.0,
+                     -53.2]) + 273.15
+    for tt in (t1, t1.at[3].set(t1[3] + 0.5)):
+        res_f, _ = fused.fused_surface_cape_cin(p1, tt, td1, tables=tables)
+        res_x, _ = cape.surface_based_cape_cin(p1, tt, td1, tables=tables)
+        for k in ('cape', 'cin'):
+            a, b = float(res_f[k]), float(res_x[k])
+            assert np.isfinite(a) and abs(a - b) < 1e-8, (k, a, b)
+    res_f, _ = fused.fused_surface_cape_cin(p1, t1, td1, tables=tables)
+    assert abs(float(res_f['cape']) - 230.2007) < 1e-3
+    assert abs(float(res_f['cin']) - -58.0671) < 1e-3
