@@ -645,6 +645,24 @@ def test_most_unstable_parcel():
     assert_almost_equal(f(ret['dewpoint']), 19.0 + 273.15, 6)
 
 
+def test_most_unstable_parcel_duplicate_pressure():
+    # Duplicate pressure levels with different states: the parcel must be
+    # the STATE OF ONE LEVEL (the first achieving max theta-e), never a
+    # per-field max blended across the duplicates.  The reference asserts
+    # pressure uniqueness here (parcel_functions.py:131); a jitted program
+    # extends the documented first-level tie rule instead.
+    levels = jnp.array([1000.0, 950.0, 900.0, 900.0, 850.0])
+    temps = jnp.array([300.0, 297.0, 296.0, 298.0, 290.0])
+    dews = jnp.array([295.0, 294.0, 295.5, 270.0, 280.0])
+    # level 2 (296 K, nearly saturated) has far higher theta-e than its
+    # 900-hPa duplicate level 3 (298 K but 28 K dewpoint depression).
+    ret = api.most_unstable_parcel(pressure=levels, temperature=temps,
+                                   dewpoint=dews, depth=300.0)
+    assert_almost_equal(f(ret['pressure']), 900.0, 6)
+    assert_almost_equal(f(ret['temperature']), 296.0, 6)  # not max(296, 298)
+    assert_almost_equal(f(ret['dewpoint']), 295.5, 6)
+
+
 def test_most_unstable_cape_cin_surface_mp():
     levels, temps, dews = _basic_cape_sounding()
     res, _, _ = api.most_unstable_cape_cin(levels, temps, dews, **MP)

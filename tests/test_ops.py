@@ -176,6 +176,26 @@ def test_insert_level_nan_handling():
     assert np.all(np.isnan(np.asarray(res2['temperature'])))
 
 
+def test_insert_level_interior_nan_stays_sorted():
+    # An interior NaN-pressure slot must not shift the insertion short:
+    # the new level lands one past the LAST valid level >= it, keeping the
+    # VALID subsequence descending (an unsorted splice double-counts the
+    # inverted span in the downstream area integration).
+    fields = {
+        'pressure': jnp.array([1000.0, jnp.nan, 900.0, 800.0]),
+        'temperature': jnp.array([1.0, jnp.nan, 3.0, 4.0]),
+    }
+    res = ops.insert_level(fields, {'pressure': 850.0, 'temperature': 9.0})
+    assert_array_almost_equal(np.asarray(res['pressure']),
+                              [1000.0, np.nan, 900.0, 850.0, 800.0])
+    assert_array_almost_equal(np.asarray(res['temperature']),
+                              [1.0, np.nan, 3.0, 9.0, 4.0])
+    # Insertion above the interior NaN keeps it in place too.
+    res2 = ops.insert_level(fields, {'pressure': 950.0, 'temperature': 9.0})
+    assert_array_almost_equal(np.asarray(res2['pressure']),
+                              [1000.0, 950.0, np.nan, 900.0, 800.0])
+
+
 def test_compact_left():
     fields = {
         'pressure': jnp.array([[jnp.nan, jnp.nan, 800.0, 700.0],

@@ -31,7 +31,8 @@ from .profile import parcel_profile_with_lcl
 
 def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
            lcl_temperature, intersections=None, log_pressure=None,
-           intersections_in_log=False, first_valid=None, axis=-1):
+           log_lcl_pressure=None, intersections_in_log=False,
+           first_valid=None, axis=-1):
     """Level of free convection and equilibrium level.
 
     Inputs are (…, L) profile tracks (already including the LCL level when
@@ -63,9 +64,12 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     if intersections_in_log:
         # Work entirely in log-pressure: log is monotone, so every order
         # comparison below is unchanged; outputs are exp'd at the end.
+        # Both logs accept precomputed values: the fused kernel already
+        # holds them, and Mosaic does not CSE a duplicate log trace.
         pw = (log_pressure if log_pressure is not None else
               safe_log(p))
-        lclw = safe_log(lcl_p)
+        lclw = (jnp.asarray(log_lcl_pressure)
+                if log_lcl_pressure is not None else safe_log(lcl_p))
     else:
         pw, lclw = p, lcl_p
 
@@ -154,7 +158,7 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
                   parcel_temperature, pos_cape_neg_cin=True,
                   post_zero_cin=False, intersections=None,
                   log_pressure=None, log_lfc_pressure=None,
-                  log_el_pressure=None, axis=-1, **unused_kwargs):
+                  log_el_pressure=None, axis=-1):
     """CAPE and CIN from a parcel track and LFC/EL pressures.
 
     (reference: modules/parcel_functions.py:1291-1392).  ``pos_cape_neg_cin``

@@ -138,7 +138,8 @@ def _column_program(p, t, td, row, lcl_p, lcl_t, lcl_vt, w0, t0, p0, k0,
                               log_outputs=True, axis=axis)
     sol = lfc_el(ins['pressure'], ins['parcel'], ins['env'], lcl_p,
                  lcl_track, intersections=ints, log_pressure=ins_lp,
-                 intersections_in_log=True, first_valid=k0, axis=axis)
+                 log_lcl_pressure=llcl, intersections_in_log=True,
+                 first_valid=k0, axis=axis)
     res = cape_cin_base(ins['pressure'], ins['env'], sol['lfc_pressure'],
                         sol['el_pressure'], ins['parcel'],
                         intersections=ints, log_pressure=ins_lp,

@@ -130,9 +130,14 @@ def interp1d(at, xp, fp):
     x1 = jnp.take_along_axis(xp, hi, axis=-1)
     f0 = jnp.take_along_axis(fp, lo, axis=-1)
     f1 = jnp.take_along_axis(fp, hi, axis=-1)
-    t = (at - x0) / (x1 - x0)
+    # NaN queries run on a safe finite dummy (t = 0) and the NaN pattern
+    # is applied at the end: the raw (at - x0)/(x1 - x0) would leak NaN
+    # into reverse-mode cotangents of fp even though the forward value is
+    # masked (0 * NaN = NaN — the where-NaN gradient trap).
+    safe_at = jnp.where(jnp.isnan(at), x0, at)
+    t = (safe_at - x0) / (x1 - x0)
     out = f0 + t * (f1 - f0)
     # np.interp clamps outside the knot range.
-    out = jnp.where(at <= xp[..., :1], fp[..., :1], out)
-    out = jnp.where(at >= xp[..., -1:], fp[..., -1:], out)
+    out = jnp.where(safe_at <= xp[..., :1], fp[..., :1], out)
+    out = jnp.where(safe_at >= xp[..., -1:], fp[..., -1:], out)
     return jnp.where(jnp.isnan(at), jnp.nan, out)

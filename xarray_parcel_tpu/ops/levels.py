@@ -64,7 +64,18 @@ def insert_level(fields, level, coord='pressure', lead=None, axis=-1):
     if lead is None:
         lead = jnp.argmax(notnan(p), axis=axis)  # 0 if no/only lead NaN
     lead = jnp.asarray(lead).astype(jnp.int32)
-    idx = lead + jnp.sum(p_filled >= ex(pl), axis=axis)  # (…,) in [0, L]
+    # Insertion slot = one past the LAST valid level with coord >= new (not
+    # lead + count: an interior NaN-pressure slot between that level and
+    # here would shift the count short and splice the new level below a
+    # larger coordinate — an unsorted column whose area integration double
+    # counts the inverted span).  Float iota arithmetic: int reductions are
+    # shakier than f32 under Mosaic.  Falls back to ``lead`` when no valid
+    # level is >= (inserting above a leading-NaN prefix keeps the prefix).
+    ii = jax.lax.broadcasted_iota(jnp.int32, p.shape, dim)
+    valid_ge = p_filled >= ex(pl)
+    idx = jnp.max(jnp.where(valid_ge, (ii + 1).astype(p.dtype), 0.0),
+                  axis=axis).astype(jnp.int32)
+    idx = jnp.maximum(idx, lead)                          # (…,) in [0, L]
 
     out_shape = p.shape[:dim] + (L + 1,) + p.shape[dim + 1:]
     # 2-D iota (1-D jnp.arange does not lower inside Pallas kernels).

@@ -81,21 +81,14 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
     top = bottom - depth
     topb = top[..., None]
 
-    # Field values at the layer top (shared anchors, duplicate-averaging
-    # interp; NaN-pressure levels never become anchors, so the top value
-    # itself bridges a NaN run adjacent to the boundary).
-    f_top = interp_many(vals, p, top, log=True)
-
     valid_p = notnan(p)
     j = jax.lax.broadcasted_iota(jnp.int32, p.shape, p.ndim - 1)
 
-    # The layer's pressure span is always exactly ``depth`` (the boundary
-    # gap ends at bottom - depth); NaN when the column is.
-    inv_depth = jnp.where(jnp.isnan(bottom), jnp.nan, 1.0 / depth)
     # NaN top (all-NaN column) must not enter the boundary arithmetic: the
     # masked-out branch of a multiply still poisons reverse-mode cotangents
-    # (the where-NaN trap); the NaN pattern comes from inv_depth instead.
+    # (the where-NaN trap); the NaN pattern comes from the span instead.
     safe_top = jnp.where(jnp.isnan(top), 0.0, top)
+    safe_bottom = jnp.where(jnp.isnan(bottom), 0.0, bottom)
 
     shared = valid is not None
     if shared:
@@ -107,12 +100,19 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
         at_k_s = (j == k_star_s[..., None]) & m_shared
         p_k_s = jnp.sum(jnp.where(at_k_s, p, 0.0), axis=-1)
         any_k_s = jnp.any(at_k_s, axis=-1)
+        # Top anchors skip INVALID levels (masked pressure): a NaN value at
+        # a valid-pressure anchor must bridge to the nearest valid level,
+        # not zero the whole boundary gap.  Shared mode keeps one shared
+        # anchor computation for all variables.
+        p_anchor = jnp.where(valid, p, jnp.nan)
+        f_top = interp_many(vals, p_anchor, top, log=True)
 
     out = {}
     for k, v in vals.items():
         if shared:
             m, (prev_raw, next_raw) = m_shared, neighbors
             at_k, p_k, any_k = at_k_s, p_k_s, any_k_s
+            ft = f_top[k]
         else:
             vv = valid_p & notnan(v)
             prev_raw, next_raw = bridge_neighbors(p, vv)
@@ -122,6 +122,9 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
             at_k = (j == k_star[..., None]) & m   # all-False if k_star==-1
             p_k = jnp.sum(jnp.where(at_k, p, 0.0), axis=-1)
             any_k = jnp.any(at_k, axis=-1)
+            # Per-variable masked anchors (this variable's own valid set).
+            ft = interp_many({k: v}, jnp.where(vv, p, jnp.nan), top,
+                             log=True)[k]
 
         p_own = jnp.where(m, p, 0.0)         # finite dummies throughout
         v_own = jnp.where(m, v, 0.0)
@@ -134,11 +137,19 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
 
         # Boundary gap: last valid in-layer level -> interpolated top.
         f_k = jnp.sum(jnp.where(at_k, v, 0.0), axis=-1)
-        ft = f_top[k]
         b_ok = any_k & notnan(ft)
         b_area = (0.5 * (f_k + jnp.where(b_ok, ft, 0.0))
                   * jnp.abs(p_k - safe_top))
-        out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv_depth
+        # Mean-value denominator: the full requested depth when the top is
+        # interpolable; otherwise the ACTUAL available span bottom -> last
+        # valid in-layer level (the reference divides by the retrieved
+        # layer's span, :157-162 — a column shallower than ``depth``
+        # averages over what exists rather than biasing low).  No valid
+        # in-layer level at all -> NaN, never a silent 0.
+        span = jnp.where(b_ok, depth, safe_bottom - p_k)
+        inv = jnp.where(any_k & (span > 0), 1.0 / jnp.where(span > 0, span,
+                                                            1.0), jnp.nan)
+        out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv
     return out
 
 
@@ -184,15 +195,24 @@ def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
 def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
     """The max-theta-e parcel in the surface-based layer of given depth;
     ties take the first (lowest) level
-    (reference: modules/parcel_functions.py:102-135)."""
+    (reference: modules/parcel_functions.py:102-135).
+
+    Selection is by LEVEL INDEX (first level achieving the max), not by
+    pressure-value equality: with duplicate pressure levels a value match
+    would blend temperature/dewpoint across the duplicates into a parcel
+    state that exists at no level.  (The reference refuses such columns
+    outright — its uniqueness assert at :131 — which a jitted program
+    cannot do; picking the first matching level is the documented tie
+    rule extended to duplicates.)"""
     layer = get_layer({'pressure': pressure, 'temperature': temperature,
                        'dewpoint': dewpoint}, depth=depth, interpolate=False)
     eq = thermo.equivalent_potential_temperature(
         layer['pressure'], layer['temperature'], layer['dewpoint'])
     max_eq = nanmax(eq)
-    pres = nanmax(layer['pressure'], where=eq == max_eq[..., None])
-    sel = layer['pressure'] == pres[..., None]
-    return {k: nanmax(v, where=sel) for k, v in layer.items()}
+    k = jnp.argmax(eq == max_eq[..., None], axis=-1)
+    sel = ((jnp.arange(eq.shape[-1]) == k[..., None]) &
+           notnan(max_eq)[..., None])
+    return {k_: nanmax(v, where=sel) for k_, v in layer.items()}
 
 
 def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
