@@ -263,3 +263,51 @@ def test_legacy_coeff_width_warns():
                               np.ones((7, 3), np.float32),
                               np.zeros((5, 48), np.float32))
     assert any('piecewise layout' in str(r.message) for r in rec)
+
+
+def test_moist_lapse_shared_pressure_batched_parcels(tables):
+    # A shared 1-D level vector with batched parcels is a PROFILE call
+    # (the cape.cape_cin contract), never pointwise — including the
+    # ambiguous batch == levels case when passed explicitly.
+    p = jnp.linspace(900.0, 400.0, 8)
+    t0 = jnp.full((3,), 293.15)
+    p0 = jnp.full((3,), 1000.0)
+    out = adiabat.moist_lapse(p, t0, p0, tables=tables)
+    assert out.shape == (3, 8)
+    out_sq = adiabat.moist_lapse(p, jnp.full((8,), 293.15),
+                                 jnp.full((8,), 1000.0), tables=tables,
+                                 pointwise=False)
+    assert out_sq.shape == (8, 8)
+    np.testing.assert_allclose(np.asarray(out_sq[0]), np.asarray(out[0]),
+                               rtol=1e-6)
+    oracle = adiabat.moist_lapse_integrate(p, t0, p0)
+    assert oracle.shape == (3, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               atol=5e-4)
+
+
+def test_curve_index_envelope_matches_table_consumer(tables):
+    # A parcel within half a temperature-axis cell of the curve family's
+    # envelope must be finite in EVERY index mode (the integrate mode used
+    # a half-INDEX tolerance, flipping such parcels to NaN).
+    for mode in ('integrate', 'bilinear', 'nearest'):
+        v = adiabat.moist_lapse(jnp.asarray([1000.0]), jnp.asarray(315.997),
+                                jnp.asarray(1100.0), tables=tables,
+                                index_mode=mode, pointwise=False)
+        assert np.isfinite(float(v[0])), mode
+
+
+def test_spectralless_tables_save_load_and_fused_error(tmp_path):
+    import os
+    import pytest
+    from xarray_parcel_tpu import fused
+    small = adiabat.AdiabatTables(jnp.ones((5, 7), jnp.float32),
+                                  jnp.ones((7, 3), jnp.float32))
+    path = str(tmp_path / 'no_coeffs.npz')
+    small.save(path)                      # must not crash on coeffs=None
+    with np.load(path) as f:
+        assert 'coeffs' not in f.files
+    with pytest.raises(ValueError, match='spectral'):
+        fused.fused_cape_cin(jnp.ones((2, 4)) * 900.0,
+                             jnp.ones((2, 4)) * 280.0,
+                             jnp.ones((2, 4)) * 275.0, tables=small)

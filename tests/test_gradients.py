@@ -129,3 +129,19 @@ def test_grad_through_full_pipeline(tables, sounding):
     fd = (mu_cape_of(temps[1] + eps) - mu_cape_of(temps[1] - eps)) / (2 * eps)
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+
+def test_lcl_nan_parcel_zero_gradient():
+    # The fixed point iterates on safe dummies: a NaN parcel's cotangent is
+    # exactly zero, never 0 * NaN (the where-NaN trap through the power
+    # backward rule).
+    import jax
+    from xarray_parcel_tpu.lcl import lcl
+
+    def total(t):
+        out = lcl(jnp.full_like(t, 1000.0), t, t - 5.0)
+        return jnp.nansum(jnp.where(jnp.isnan(out['lcl_pressure']), 0.0,
+                                    out['lcl_pressure']))
+
+    g = np.asarray(jax.grad(total)(jnp.array([300.0, jnp.nan, 295.0])))
+    assert np.isfinite(g[[0, 2]]).all() and g[1] == 0.0, g

@@ -329,10 +329,12 @@ def _save_npz(path, curves, lookup, coeffs):
     trip ~190 MB through a slow device->host link.
     """
     tmp = f'{path}.{os.getpid()}.tmp'
+    arrays = {'curves': curves, 'lookup': lookup}
+    if coeffs is not None:
+        arrays['coeffs'] = coeffs
     try:
         with open(tmp, 'wb') as f:   # handle: savez cannot append .npz
-            np.savez_compressed(f, curves=curves, lookup=lookup,
-                                coeffs=coeffs)
+            np.savez_compressed(f, **arrays)
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -392,8 +394,10 @@ class AdiabatTables:
                              else self.coeffs.astype(dtype))
 
     def save(self, path):
+        # Spectral-less tables (coeffs=None is a legal constructor state)
+        # save without the key; load() rebuilds the coefficients.
         _save_npz(path, np.asarray(self.curves), np.asarray(self.lookup),
-                  np.asarray(self.coeffs))
+                  None if self.coeffs is None else np.asarray(self.coeffs))
 
     @classmethod
     def load(cls, path, dtype=None):
@@ -546,7 +550,8 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
             f'{desired} was requested; rebuilt tables cached at '
             f'{default_path!r} instead (pass regenerate=True to overwrite)')
         save_path = default_path
-    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    if os.path.dirname(save_path):   # bare filename -> current directory
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
     _DEFAULT_TABLES.save(save_path)
     return _DEFAULT_TABLES
 
@@ -587,8 +592,12 @@ def curve_index_integrate(parcel_pressure, parcel_temperature,
                                 n_substeps=n_substeps)
     spacing = T_STEP / 2.0            # 0.01 K between consecutive curves
     fidx = (t_start - T_MIN) / spacing
-    # Envelope: same half-cell tolerance as the lookup-table fill.
-    ok = valid & (fidx >= -0.5) & (fidx <= N_CURVES - 0.5)
+    # Envelope: the lookup-table fill accepts states within half a
+    # TEMPERATURE-AXIS cell (T_STEP/2 = one curve spacing = 1.0 in index
+    # units) of the family, so the same tolerance applies here — a
+    # half-INDEX tolerance (0.005 K) would flip near-envelope parcels
+    # between NaN and finite depending on index_mode.
+    ok = valid & (fidx >= -1.0) & (fidx <= N_CURVES)
     return jnp.where(ok, jnp.clip(fidx, 0.0, N_CURVES - 1.0), jnp.nan)
 
 
@@ -655,13 +664,20 @@ def _interp_curve(tables, fidx, pressure, curve_blend=True):
 
 def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
                 tables=None, bilinear=True, curve_blend=True,
-                index_mode=None):
+                index_mode=None, pointwise=None):
     """Temperature of parcels lifted moist-adiabatically, via lookup tables.
 
     ``pressure``: (…, L) levels to lift to (or (…) for pointwise use);
     ``parcel_temperature`` / ``parcel_pressure``: (…) parcel start state
     (parcel_pressure defaults to the first level,
     reference: modules/parcel_functions.py:549-550).
+
+    ``pointwise``: every point is its own parcel (pressure and parcel
+    state share one shape) instead of lifting each parcel along a level
+    axis.  Default None auto-detects by exact shape equality — ambiguous
+    only for 1-D profile calls whose batch equals the level count, so
+    library call sites pass it explicitly; a moist-lapse backend must
+    accept this keyword.
 
     ``index_mode`` selects how the parcel state maps to a curve index:
     ``'integrate'`` (default — gather-free backward ODE integration, see
@@ -678,13 +694,26 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     if tables is None:
         tables = default_tables()
     pressure = jnp.asarray(pressure)
-    pointwise = parcel_temperature is not None and (
-        jnp.ndim(parcel_temperature) == pressure.ndim)
+    if pointwise is None:
+        # Exact-shape match, not ndim match: a shared 1-D level vector with
+        # batched parcels is a PROFILE call (broadcast to (B, L)), not a
+        # pointwise one.
+        pointwise = parcel_temperature is not None and (
+            jnp.shape(parcel_temperature) == pressure.shape)
     if parcel_pressure is None:
         # Pointwise mode: every point is its own parcel start.
         parcel_pressure = pressure if pointwise else pressure[..., 0]
     parcel_temperature = jnp.asarray(parcel_temperature)
     parcel_pressure = jnp.asarray(parcel_pressure)
+    if not pointwise:
+        # A shared level vector with batched parcels broadcasts to the full
+        # (batch, L) lift — the curve-gather indexing below needs the
+        # explicit shape, and 'as in cape.cape_cin' this combination is
+        # part of the public contract.
+        batch = jnp.broadcast_shapes(parcel_temperature.shape,
+                                     parcel_pressure.shape,
+                                     pressure.shape[:-1])
+        pressure = jnp.broadcast_to(pressure, batch + pressure.shape[-1:])
 
     if index_mode is None:
         index_mode = 'integrate' if bilinear else 'nearest'
@@ -723,29 +752,35 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
 
 
 def moist_lapse_integrate(pressure, parcel_temperature, parcel_pressure=None,
-                          n_substeps=32, tables=None):
+                          n_substeps=32, tables=None, pointwise=None):
     """Direct RK4 integration per query — the accuracy oracle.
 
     Walks the requested levels sequentially from the parcel state (level to
     level along the same pseudoadiabat), NaN-skipping, like MetPy's odeint
     path that the reference monkeypatches in for exact unit testing
     (reference: modules/unit_tests.py:114-140).  ``tables`` is accepted and
-    ignored so it is signature-compatible with ``moist_lapse``.
+    ignored so it is signature-compatible with ``moist_lapse``; so is
+    ``pointwise`` (see there — default auto-detects by exact shape
+    equality).
     """
     pressure = jnp.asarray(pressure)
-    pointwise = parcel_temperature is not None and (
-        jnp.ndim(parcel_temperature) == pressure.ndim)
+    if pointwise is None:
+        pointwise = parcel_temperature is not None and (
+            jnp.shape(parcel_temperature) == pressure.shape)
     if pointwise:
         levels = pressure[..., None]
     else:
         levels = pressure
     if parcel_pressure is None:
         parcel_pressure = levels[..., 0]
+    batch = jnp.broadcast_shapes(jnp.shape(parcel_temperature),
+                                 jnp.shape(parcel_pressure),
+                                 levels.shape[:-1])
     t0 = jnp.broadcast_to(jnp.asarray(parcel_temperature, levels.dtype),
-                          levels.shape[:-1]).astype(levels.dtype)
+                          batch).astype(levels.dtype)
     p0 = jnp.broadcast_to(jnp.asarray(parcel_pressure, levels.dtype),
-                          levels.shape[:-1]).astype(levels.dtype)
-    levels = jnp.broadcast_to(levels, t0.shape + levels.shape[-1:])
+                          batch).astype(levels.dtype)
+    levels = jnp.broadcast_to(levels, batch + levels.shape[-1:])
 
     start_valid = notnan(t0) & notnan(p0)
     lp0 = jnp.log(jnp.where(start_valid, p0, P_TOP))

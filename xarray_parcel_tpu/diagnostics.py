@@ -78,7 +78,7 @@ def wet_bulb_temperature(pressure, temperature, dewpoint, tables=None,
     ml = moist_lapse or adiabat.moist_lapse_integrate
     lcls = lcl(pressure, temperature, dewpoint)
     wb = ml(pressure, lcls['lcl_temperature'], lcls['lcl_pressure'],
-            tables=tables)
+            tables=tables, pointwise=True)
     # The integrate backend has no table envelope; re-impose it so validity
     # semantics match the reference's table consumer.
     fidx = adiabat.curve_index_integrate(lcls['lcl_pressure'],

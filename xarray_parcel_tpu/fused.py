@@ -355,6 +355,11 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     lcls = lcl(p0, t0, td0)
     lcl_p = lcls['lcl_pressure']
     w0 = thermo.mixing_ratio(t0, td0, p0)
+    if getattr(tables, 'coeffs', None) is None:
+        raise ValueError(
+            'the fused kernel needs spectral coefficients but '
+            'tables.coeffs is None — rebuild the tables with '
+            'AdiabatTables.build() or load_moist_adiabat_lookups()')
     fidx = adiabat.curve_index_integrate(lcl_p, lcls['lcl_temperature'])
     c0 = jnp.clip(jnp.floor(jnp.where(jnp.isnan(fidx), 0.0, fidx)), 0,
                   N_CURVES - 2).astype(jnp.int32)

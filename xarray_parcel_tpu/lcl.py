@@ -35,6 +35,15 @@ def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
     td0 = jnp.asarray(parcel_dewpoint)
     p0, t0, td0 = jnp.broadcast_arrays(p0, t0, td0)
 
+    # The fixed point iterates on SAFE finite dummies and the NaN pattern
+    # is applied once at the end: iterating on raw NaN inputs poisons
+    # reverse-mode cotangents of every element through the power/exp
+    # backward rules (0 * NaN = NaN — the where-NaN gradient trap).
+    valid = notnan(p0) & notnan(t0) & notnan(td0)
+    p0 = jnp.where(valid, p0, 1000.0)
+    t0 = jnp.where(valid, t0, 288.0)
+    td0 = jnp.where(valid, td0, 283.0)
+
     w = thermo.mixing_ratio_from_partial_pressure(
         thermo.saturation_vapor_pressure(td0), p0)
 
@@ -50,7 +59,6 @@ def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
     lcl_w = thermo.mixing_ratio(lcl_t, lcl_t, lcl_p)
     lcl_vt = thermo.virtual_temperature(lcl_t, lcl_w)
 
-    valid = notnan(p0) & notnan(t0) & notnan(td0)
     nan = jnp.nan
     return {
         'lcl_pressure': jnp.where(valid, lcl_p, nan),

@@ -34,6 +34,14 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     parcel_pressure = jnp.asarray(parcel_pressure)
     parcel_temperature = jnp.asarray(parcel_temperature)
     parcel_dewpoint = jnp.asarray(parcel_dewpoint)
+    # A shared level vector with batched parcels is legal (as in
+    # cape.cape_cin): carry the full (batch, L) pressure so every track and
+    # the downstream LCL splice share one shape.
+    batch = jnp.broadcast_shapes(parcel_pressure.shape,
+                                 parcel_temperature.shape,
+                                 parcel_dewpoint.shape,
+                                 pressure.shape[:-1])
+    pressure = jnp.broadcast_to(pressure, batch + pressure.shape[-1:])
 
     out = {'pressure': pressure}
     out.update(lcl(parcel_pressure, parcel_temperature, parcel_dewpoint))
@@ -49,7 +57,8 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
 
     below_lcl = thermo.dry_lapse(safe_p, parcel_temperature[..., None],
                                  parcel_pressure[..., None])
-    above_lcl = ml(safe_p, out['lcl_temperature'], lcl_p, tables=tables)
+    above_lcl = ml(safe_p, out['lcl_temperature'], lcl_p, tables=tables,
+                   pointwise=False)
     above_lcl = jnp.where(validp, above_lcl, jnp.nan)
 
     lcl_pb = lcl_p[..., None]
@@ -92,8 +101,13 @@ def add_lcl_to_profile(profile, environment=None, interpolator='log'):
 
     if environment is not None:
         env_p = environment['pressure']
+        # virtual_temperature at the LCL is RECOMPUTED from interpolated
+        # T/Td below (reference :911-920) — interpolating it too would be
+        # two wasted masked reductions per solve.
+        skip = ('pressure', 'virtual_temperature') \
+            if 'virtual_temperature' in environment else ('pressure',)
         interp_level = interp_many(
-            {k: v for k, v in environment.items() if k != 'pressure'},
+            {k: v for k, v in environment.items() if k not in skip},
             env_p, level['pressure'], log=interpolator == 'log')
         interp_level['pressure'] = level['pressure']
 
