@@ -359,4 +359,20 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        # The one-JSON-line contract holds even when a REQUIRED arm dies
+        # mid-run (e.g. the tunnel drops after the startup probes passed
+        # and time_fn exhausts its retries): emit a parseable failure
+        # record, then re-raise so the exit code still flags the run.
+        print(json.dumps({
+            'metric': 'conv_properties_pipeline_columns_per_sec',
+            'value': None,
+            'unit': 'columns/sec/chip (90-level, ~20-var pipeline, fp32)',
+            'vs_baseline': None,
+            'extra': {'error': f'bench failed mid-run: {e!r}'[:500]},
+        }), flush=True)
+        raise

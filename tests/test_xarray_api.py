@@ -252,7 +252,8 @@ def test_valid_data_dataset(dat):
     pv = np.asarray(bad['pressure'].values).copy()
     pv[0, 0, 5] = pv[0, 0, 4] + 10.0   # non-monotonic column
     bad['pressure'] = (bad['pressure'].dims, pv)
-    with pytest.raises(AssertionError):
+    # ValueError, not AssertionError: the contract survives python -O.
+    with pytest.raises(ValueError):
         xarray_api.valid_data(bad)
     mask = xarray_api.valid_data(bad, strict=False)
     assert mask.sum() == mask.size - 1

@@ -107,14 +107,17 @@ def mixed_layer_cape_cin(pressure, temperature, dewpoint, depth=100.0,
 
 
 def lifted_index(profile, prefix=None, description=None):
-    res = _lifted_index(profile)
-    return _rename(annotate(res), prefix)
+    res = _rename(_lifted_index(profile), prefix)
+    key = f'{prefix}_lifted_index' if prefix else 'lifted_index'
+    return annotate(res, {key: description} if description else None)
 
 
 def deep_convective_index(pressure, temperature, dewpoint, lifted_index,
                           prefix=None, description=None):
-    res = _dci(pressure, temperature, dewpoint, lifted_index)
-    return _rename(annotate(res), prefix)
+    res = _rename(_dci(pressure, temperature, dewpoint, lifted_index),
+                  prefix)
+    key = f'{prefix}_dci' if prefix else 'dci'
+    return annotate(res, {key: description} if description else None)
 
 
 def parcel_profile(pressure, parcel_pressure, parcel_temperature,
@@ -153,7 +156,9 @@ def valid_data(dat, strict=True):
     from . import native
     p = np.asarray(dat['pressure'] if isinstance(dat, dict) else dat)
     ok = native.validate_columns(p)
-    if strict:
-        assert np.all(ok), \
-            'Pressures must decrease with increasing level number.'
+    if strict and not np.all(ok):
+        # An explicit raise, not an assert: the contract must survive
+        # ``python -O``.
+        raise ValueError(
+            'Pressures must decrease with increasing level number.')
     return ok

@@ -10,7 +10,16 @@ arrays themselves stay plain pytree leaves).
 
 
 class FieldSet(dict):
-    """A dict of named arrays with attribute access and per-variable attrs."""
+    """A dict of named arrays with attribute access and per-variable attrs.
+
+    ``_attr_overrides``: optional {name: description} texts that take
+    precedence over the registry (the reference's ``description=``
+    parameters on lifted_index/DCI).
+    """
+
+    def __init__(self, *args, _attr_overrides=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        object.__setattr__(self, '_overrides', dict(_attr_overrides or {}))
 
     def __getattr__(self, name):
         try:
@@ -20,7 +29,13 @@ class FieldSet(dict):
 
     @property
     def attrs(self):
-        return {k: attrs_for(k) for k in self}
+        out = {}
+        for k in self:
+            a = attrs_for(k)
+            if k in getattr(self, '_overrides', {}):
+                a['description'] = self._overrides[k]
+            out[k] = a
+        return out
 
 
 _BASE_ATTRS = {
@@ -112,6 +127,7 @@ def attrs_for(name):
     return {}
 
 
-def annotate(result):
-    """Wrap a result dict in a FieldSet (attrs resolve lazily by name)."""
-    return FieldSet(result)
+def annotate(result, descriptions=None):
+    """Wrap a result dict in a FieldSet (attrs resolve lazily by name);
+    ``descriptions``: optional {name: text} overrides."""
+    return FieldSet(result, _attr_overrides=descriptions)

@@ -62,10 +62,16 @@ def batch_spec(mesh, ndim, batch_dims=1):
 
 def shard_batch(tree, mesh, batch_dims=1):
     """device_put every array in a pytree with its leading batch dims sharded
-    over the mesh (the xarray->device ingest boundary)."""
+    over the mesh (the xarray->device ingest boundary).
+
+    Every leaf must carry the full leading batch prefix: a surface field
+    (B,) shards its only dim, a level field (B, L) its first.  (A shared
+    level-only vector (L,) would be indistinguishable from a surface field
+    by shape — broadcast such fields to the batch before ingest.)
+    """
     def put(x):
         x = jnp.asarray(x)
-        bd = min(batch_dims, max(x.ndim - 1, 0))
+        bd = min(batch_dims, x.ndim)
         return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, x.ndim,
                                                                 bd)))
     return jax.tree_util.tree_map(put, tree)

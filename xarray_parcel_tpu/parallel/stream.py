@@ -66,8 +66,13 @@ def stream_map(fn, dat, batch_columns=1 << 16,
         for k, v in flat.items():
             c = v[start:stop]
             if pad:
+                # NaN-pad floats; integer/bool fields (ids, flags) have no
+                # NaN and the padded rows are sliced off regardless (same
+                # rule as parallel.pad_batch).
+                value = (np.nan if np.issubdtype(c.dtype, np.floating)
+                         else np.zeros((), c.dtype))
                 c = np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1),
-                           constant_values=np.nan)
+                           constant_values=value)
             chunk[k] = jnp.asarray(c)
         pending.append((stop - start, jfn(chunk)))
         # Keep at most two chunks in flight (double buffering).

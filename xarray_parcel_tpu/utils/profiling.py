@@ -62,9 +62,16 @@ def columns_per_second(f, *args, columns=None, iters=5, warmup=1,
     """
     if columns is None:
         first = jax.tree_util.tree_leaves(args)[0]
-        columns = 1
-        for d in first.shape[:-1]:
-            columns *= d
+        if first.ndim <= 1:
+            # A 1-D first argument is ambiguous (a batch of points or one
+            # column of levels); treat it as a batch — pointwise
+            # (elementwise) functions are the common 1-D case.  Pass
+            # ``columns=`` explicitly to time a single column.
+            columns = int(first.shape[0]) if first.ndim else 1
+        else:
+            columns = 1
+            for d in first.shape[:-1]:
+                columns *= d
     for _ in range(warmup):
         sync(f(*args, **kwargs), single_program=single_program)
     t0 = time.perf_counter()

@@ -221,12 +221,20 @@ def _lift_da(arr, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
         coords[vert_dim] = _vert_coord_values(vert_coord, vert_size)
     da = xr.DataArray(arr, dims=dims, attrs=attrs_for(name) if name else {},
                       name=name)
-    if coords and hasattr(da, 'assign_coords'):
-        try:
-            da = da.assign_coords({k: v for k, v in coords.items()
-                                   if k in da.dims})
-        except (AttributeError, TypeError):  # xr_lite carries coords as-is
-            pass
+    if coords:
+        keep = {k: v for k, v in coords.items() if k in da.dims}
+        if hasattr(da, 'assign_coords'):
+            try:
+                da = da.assign_coords(keep)
+            except (AttributeError, TypeError):
+                pass
+        else:
+            # xr_lite DataArrays take coords at construction only — rebuild
+            # so the vendored-shim egress keeps coordinates like the real
+            # xarray path does.
+            da = xr.DataArray(arr, dims=dims, coords=keep,
+                              attrs=attrs_for(name) if name else {},
+                              name=name)
     return da
 
 
@@ -435,6 +443,9 @@ def _cape_variant(core, res_extras):
         res, rest = out[0], out[1:]
         coords = _coords_of(args, batch_dims)
         desc = res_extras(kwargs)
+        if prefix and desc:
+            # _lift matches descriptions against the RENAMED keys.
+            desc = {f'{prefix}_{k}': v for k, v in desc.items()}
         res = _lift(_rename(res, prefix, ('cape', 'cin')), batch_dims,
                     coords=coords, descriptions=desc)
         vc = _vert_coord_of(args, vert_dim)
