@@ -170,3 +170,42 @@ def test_pad_batch_integer_and_bool_leaves_pad_with_zero():
     assert (padded['station'][35:] == 0).all()
     assert (~padded['mask'][35:]).all()
     assert np.isnan(padded['cape'][35:]).all()
+
+
+def test_shard_batch_1d_leaf_shards_its_only_dim(mesh):
+    """A 1-D leaf is a surface field (B,) — its single dim IS the batch
+    and must shard, not replicate (every ingest leaf carries the full
+    leading batch prefix; see parallel.shard_batch docstring)."""
+    x = shard_batch(jnp.arange(16.0), mesh)
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(2,)}
+
+
+def test_stream_map_integer_fields_pad_with_zero():
+    """Uneven chunks force padding; int/bool fields have no NaN and pad
+    with zeros instead, and round-trip exactly (padded rows are sliced
+    off)."""
+    import numpy as np
+    from xarray_parcel_tpu.parallel import stream_map
+
+    dat = {'pressure': np.linspace(1000.0, 900.0, 11),
+           'station': np.arange(11, dtype=np.int32),
+           'mask': np.array([i % 2 == 0 for i in range(11)])}
+    out = stream_map(lambda d: {'s2': d['station'] * 2, 'm': d['mask'],
+                                'p': d['pressure']},
+                     dat, batch_columns=4)   # 11 -> chunks of 4,4,3(+1 pad)
+    assert out['s2'].dtype == np.int32
+    np.testing.assert_array_equal(out['s2'], dat['station'] * 2)
+    np.testing.assert_array_equal(out['m'], dat['mask'])
+    np.testing.assert_allclose(out['p'], dat['pressure'])
+
+
+def test_infer_columns_batch_dims():
+    """Throughput accounting: leading dims are columns; a 1-D first arg
+    counts as a batch of points (pointwise timing), a scalar as 1."""
+    from xarray_parcel_tpu.utils import infer_columns
+
+    assert infer_columns((jnp.zeros((6, 7, 90)),)) == 42
+    assert infer_columns((jnp.zeros((5, 90)),)) == 5
+    assert infer_columns((jnp.zeros(10),)) == 10
+    assert infer_columns((jnp.zeros(()),)) == 1

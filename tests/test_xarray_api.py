@@ -526,3 +526,56 @@ def test_remaining_ops_wrappers_mirror_array_api(dat_dew):
 
     assert float(xarray_api.round_to(123.456, 0.5)) == 123.5
     assert xarray_api.lookup_tables_loaded()
+
+
+def test_description_override_lands_on_renamed_key(dat_dew):
+    """``description=`` must annotate the RENAMED output variable when a
+    prefix is in play (the reference threads description= through to the
+    attrs of the prefixed name — modules/parcel_functions.py:1722-1756,
+    1830-1870), on both the Dataset and the array surfaces."""
+    d = dat_dew
+    li_in = xarray_api.parcel_profile_with_lcl(
+        d['pressure'], d['temperature'], d['dewpoint'],
+        _isel0(d['pressure']), _isel0(d['temperature']),
+        _isel0(d['dewpoint']))
+    li = xarray_api.lifted_index(li_in, prefix='sb', description='custom LI')
+    assert li.sb_lifted_index.attrs['description'] == 'custom LI'
+    dci = xarray_api.deep_convective_index(
+        d['pressure'], d['temperature'], d['dewpoint'],
+        li['sb_lifted_index'], prefix='sb', description='custom DCI')
+    assert dci.sb_dci.attrs['description'] == 'custom DCI'
+
+    # Array-level facade: FieldSet attrs carry the same override.
+    import jax.numpy as jnp
+    prof = {k: jnp.asarray(np.asarray(v.values))
+            for k, v in li_in.data_vars.items()}
+    res = api.lifted_index(prof, prefix='sb', description='custom LI')
+    assert res.attrs['sb_lifted_index']['description'] == 'custom LI'
+    # Without an override, an arbitrary prefix keeps the base attrs (the
+    # reference renames AFTER attaching long_name/units) and gains no
+    # description.
+    res2 = api.lifted_index(prof, prefix='sb')
+    a = res2.attrs['sb_lifted_index']
+    assert a['long_name'] == 'Lifted index' and a['units'] == 'K'
+    assert 'description' not in a
+
+
+def test_fieldset_is_a_pytree():
+    """API outputs must feed straight back into jit/sharding/sync: a
+    FieldSet traverses as a dict pytree (leaf FieldSets would make jit
+    raise and utils.sync skip the completion-forcing device read)."""
+    import jax
+    import jax.numpy as jnp
+    from xarray_parcel_tpu.fieldset import FieldSet
+
+    fs = FieldSet({'cape': jnp.arange(3.0), 'cin': jnp.ones(3)},
+                  _attr_overrides={'cape': 'custom'})
+    leaves = jax.tree_util.tree_leaves(fs)
+    assert len(leaves) == 2
+    out = jax.jit(lambda d: {k: v * 2 for k, v in d.items()})(fs)
+    np.testing.assert_array_equal(np.asarray(out['cape']), [0., 2., 4.])
+    # Round-tripping through flatten/unflatten keeps the overrides.
+    flat, treedef = jax.tree_util.tree_flatten(fs)
+    back = jax.tree_util.tree_unflatten(treedef, flat)
+    assert isinstance(back, FieldSet)
+    assert back.attrs['cape']['description'] == 'custom'

@@ -4,9 +4,12 @@ The reference attaches ``long_name``/``units``/``description`` attrs to every
 output variable (e.g. reference: modules/parcel_functions.py:1367-1368,
 2303-2304) — its de-facto observability surface.  jax arrays carry no attrs,
 so metadata lives in a canonical registry keyed by variable name; ``annotate``
-wraps a result dict in a ``FieldSet`` exposing ``.attrs`` (outside jit — the
-arrays themselves stay plain pytree leaves).
+wraps a result dict in a ``FieldSet`` exposing ``.attrs``.  A FieldSet is a
+registered pytree that traverses like a dict (attrs ride along as aux data),
+so annotated outputs flow through jit/sharding/sync unchanged.
 """
+
+import jax
 
 
 class FieldSet(dict):
@@ -36,6 +39,25 @@ class FieldSet(dict):
                 a['description'] = self._overrides[k]
             out[k] = a
         return out
+
+
+def _fieldset_flatten_with_keys(fs):
+    keys = sorted(fs)
+    children = [(jax.tree_util.DictKey(k), fs[k]) for k in keys]
+    return children, (tuple(keys), tuple(sorted(fs._overrides.items())))
+
+
+def _fieldset_unflatten(aux, children):
+    keys, overrides = aux
+    return FieldSet(zip(keys, children), _attr_overrides=dict(overrides))
+
+
+# A FieldSet must traverse like the dict it is — NOT sit as a pytree leaf —
+# so API outputs can be fed straight back into jax.jit / shard_batch /
+# utils.sync (a leaf FieldSet would make jit raise and make sync silently
+# skip the device read that forces completion on the tunnel backend).
+jax.tree_util.register_pytree_with_keys(
+    FieldSet, _fieldset_flatten_with_keys, _fieldset_unflatten)
 
 
 _BASE_ATTRS = {
@@ -124,6 +146,14 @@ def attrs_for(name):
             base['description'] = (
                 f'{base.get("long_name", name)} for {desc}.')
             return base
+    # Unknown prefixes still keep the base variable's attrs: the reference
+    # renames AFTER attaching long_name/units, so ``prefix='sb'`` outputs
+    # stay annotated (reference: modules/parcel_functions.py:1749-1755).
+    parts = name.split('_')
+    for i in range(1, len(parts)):
+        suffix = '_'.join(parts[i:])
+        if suffix in _BASE_ATTRS:
+            return dict(_BASE_ATTRS[suffix])
     return {}
 
 

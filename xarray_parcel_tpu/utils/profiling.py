@@ -49,29 +49,34 @@ def time_function(f, *args, **kwargs):
     return res, time.perf_counter() - start
 
 
+def infer_columns(args):
+    """Column count implied by the first array argument: the product of
+    its leading (batch) dims.  A 1-D first argument is ambiguous (a batch
+    of points or one column of levels); treat it as a batch — pointwise
+    (elementwise) functions are the common 1-D case.  Pass ``columns=``
+    explicitly to time a single column."""
+    first = jax.tree_util.tree_leaves(args)[0]
+    if first.ndim <= 1:
+        return int(first.shape[0]) if first.ndim else 1
+    columns = 1
+    for d in first.shape[:-1]:
+        columns *= d
+    return columns
+
+
 def columns_per_second(f, *args, columns=None, iters=5, warmup=1,
                        single_program=False, **kwargs):
     """Steady-state throughput of ``f`` in columns/sec.
 
-    ``columns`` defaults to the leading-dims product of the first array
-    argument (all batch dims = columns, the framework's unit of work).
+    ``columns`` defaults to ``infer_columns(args)`` (all batch dims =
+    columns, the framework's unit of work).
     ``single_program``: see ``sync`` — set it when ``f`` is one jitted
     call so multi-output syncing doesn't pay one tunnel round trip per
     output variable.
     Returns (columns_per_sec, seconds_per_iter).
     """
     if columns is None:
-        first = jax.tree_util.tree_leaves(args)[0]
-        if first.ndim <= 1:
-            # A 1-D first argument is ambiguous (a batch of points or one
-            # column of levels); treat it as a batch — pointwise
-            # (elementwise) functions are the common 1-D case.  Pass
-            # ``columns=`` explicitly to time a single column.
-            columns = int(first.shape[0]) if first.ndim else 1
-        else:
-            columns = 1
-            for d in first.shape[:-1]:
-                columns *= d
+        columns = infer_columns(args)
     for _ in range(warmup):
         sync(f(*args, **kwargs), single_program=single_program)
     t0 = time.perf_counter()
