@@ -54,6 +54,19 @@ def main():
     print(f'mu_cape over {int(cnt)} columns: mean={float(mean):.1f} '
           f'max={float(mx):.1f} J/kg')
 
+    # Out-of-core + data-parallel composed: grids larger than one
+    # device's HBM stream through the mesh in sharded chunks.
+    host = synthetic_dataset(16, L=40)
+    host = {k: v.reshape((-1,) + v.shape[2:]) for k, v in host.items()}
+    streamed = parallel.stream_map(
+        lambda d: pipeline.conv_properties(d, tables=tables), host,
+        batch_columns=64, mesh=mesh)
+    np.testing.assert_allclose(
+        streamed['mu_cape'], np.asarray(out['mu_cape']), rtol=1e-5,
+        atol=1e-4, equal_nan=True)
+    print(f'streamed+sharded: {len(streamed)} variables match the '
+          f'whole-grid sharded run')
+
 
 if __name__ == '__main__':
     main()

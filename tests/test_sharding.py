@@ -209,3 +209,48 @@ def test_infer_columns_batch_dims():
     assert infer_columns((jnp.zeros((5, 90)),)) == 5
     assert infer_columns((jnp.zeros(10),)) == 10
     assert infer_columns((jnp.zeros(()),)) == 1
+
+
+def test_stream_map_sharded_chunks_match_direct(mesh):
+    """stream_map(mesh=): chunks shard over the mesh SPMD and the chunk
+    size rounds up to a mesh-divisible count; results equal the unsharded
+    direct run (uneven batch AND uneven chunk size)."""
+    import numpy as np
+    from xarray_parcel_tpu import adiabat, pipeline
+    from xarray_parcel_tpu.parallel import stream_map
+
+    tables = adiabat.load_moist_adiabat_lookups()
+    rng = np.random.default_rng(11)
+    B, L = 27, 30                        # 27 % 8 != 0; chunks pad to 16
+    p = np.broadcast_to(np.linspace(1004., 210., L), (B, L)).copy()
+    t = 300.0 - 70.0 * (1.0 - (p / 1004.0) ** 0.3) + rng.normal(0, 1, (B, L))
+    e = 6.112 * np.exp(17.67 * ((t - 9.) - 273.15) / ((t - 9.) - 29.65))
+    q = (0.622 * e / (p - e)) / (1 + 0.622 * e / (p - e))
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    dat = {'pressure': p, 'temperature': t, 'specific_humidity': q,
+           'height_asl': h,
+           'surface_wind_u': rng.normal(3, 1, B),
+           'surface_wind_v': rng.normal(0, 1, B),
+           'wind_u': rng.normal(8, 3, (B, L)),
+           'wind_v': rng.normal(1, 3, (B, L)),
+           'wind_height_above_surface': h - h[:, :1]}
+
+    fn = lambda d: pipeline.min_conv_properties(d, tables=tables)
+    direct = fn({k: jnp.asarray(v) for k, v in dat.items()})
+    streamed = stream_map(fn, dat, batch_columns=10, mesh=mesh)
+    for k in direct:
+        np.testing.assert_allclose(streamed[k], np.asarray(direct[k]),
+                                   atol=1e-6, rtol=1e-9, equal_nan=True,
+                                   err_msg=k)
+
+    # Witness the placement: every chunk really lands sharded over all 8
+    # devices, at the rounded-up (mesh-divisible) chunk size.
+    seen = []
+
+    def probe(d):
+        seen.append(d['pressure'].sharding)
+        return {'x': d['pressure'][..., 0]}
+
+    stream_map(probe, dat, batch_columns=10, mesh=mesh, jit=False)
+    assert len(seen) == 2                      # 27 cols -> 2 chunks of 16
+    assert all(len(s.device_set) == 8 for s in seen)

@@ -289,9 +289,20 @@ def test_dataset_sb_jit_cache_reused(dat_dew):
     assert len(xarray_api._JIT_CACHE) == n
 
 
-def test_stream_and_mesh_mutually_exclusive(dat):
-    with pytest.raises(ValueError):
-        xarray_api.conv_properties(dat, mesh=object(), stream_columns=4)
+def test_stream_and_mesh_compose(dat):
+    """Out-of-core streaming + mesh sharding compose: each chunk shards
+    over the mesh (grids larger than one device's HBM stream through all
+    devices), and results equal the direct unsharded run."""
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    direct = xarray_api.conv_properties(dat)
+    streamed = xarray_api.conv_properties(dat, mesh=mesh, stream_columns=5)
+    for k in direct.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(streamed[k].values), np.asarray(direct[k].values),
+            atol=1e-6, rtol=1e-9, equal_nan=True, err_msg=k)
 
 
 def _vals(x):

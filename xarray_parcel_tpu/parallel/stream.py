@@ -24,7 +24,7 @@ def _batch_shape(dat, level_vars):
 
 def stream_map(fn, dat, batch_columns=1 << 16,
                level_vars=('pressure', 'temperature', 'dewpoint',
-                           'specific_humidity'), jit=True):
+                           'specific_humidity'), jit=True, mesh=None):
     """Run ``fn`` (a dict->dict column program, e.g.
     ``pipeline.conv_properties``) over ``dat`` in column chunks.
 
@@ -34,6 +34,13 @@ def stream_map(fn, dat, batch_columns=1 << 16,
     shape, and transfers overlap compute through async dispatch.
     ``jit=False`` when ``fn`` already wraps a jitted callable (avoids
     re-tracing a fresh outer jit per stream_map call).
+
+    ``mesh``: shard every chunk's batch dim over the mesh
+    (``parallel.shard_batch``), so grids larger than one device's HBM
+    stream through ALL devices SPMD — the out-of-core and the
+    data-parallel paths compose.  The chunk size rounds up to a multiple
+    of the mesh size (XLA sharding needs divisibility; padded columns are
+    NaN and sliced off as usual).
     """
     batch = _batch_shape(dat, level_vars)
     B = int(np.prod(batch)) if batch else 1
@@ -46,16 +53,24 @@ def stream_map(fn, dat, batch_columns=1 << 16,
 
     jfn = jax.jit(fn) if jit else fn
     n_chunk = max(1, min(batch_columns, B))
+    if mesh is not None:
+        from .mesh import shard_batch
+        n_dev = mesh.devices.size
+        n_chunk += (-n_chunk) % n_dev                 # round up to divisible
+        place = lambda chunk: shard_batch(chunk, mesh)
+    else:
+        place = lambda chunk: {k: jnp.asarray(v) for k, v in chunk.items()}
     results = []
     pending = []                      # (slice_len, device outputs)
 
     if B == 0:
         # Empty batch: run one NaN chunk for the output structure, keep 0.
-        chunk = {k: jnp.full((1,) + v.shape[1:], jnp.nan, v.dtype)
+        n0 = mesh.devices.size if mesh is not None else 1
+        chunk = {k: jnp.full((n0,) + v.shape[1:], jnp.nan, v.dtype)
                  if np.issubdtype(v.dtype, np.floating)
-                 else jnp.zeros((1,) + v.shape[1:], v.dtype)
+                 else jnp.zeros((n0,) + v.shape[1:], v.dtype)
                  for k, v in flat.items()}
-        out = jfn(chunk)
+        out = jfn(place(chunk))
         return {k: np.asarray(v)[:0].reshape(batch + np.shape(v)[1:])
                 for k, v in out.items()}
 
@@ -73,8 +88,8 @@ def stream_map(fn, dat, batch_columns=1 << 16,
                          else np.zeros((), c.dtype))
                 c = np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1),
                            constant_values=value)
-            chunk[k] = jnp.asarray(c)
-        pending.append((stop - start, jfn(chunk)))
+            chunk[k] = c
+        pending.append((stop - start, jfn(place(chunk))))
         # Keep at most two chunks in flight (double buffering).
         if len(pending) > 1:
             n, out = pending.pop(0)

@@ -295,19 +295,21 @@ def _dataset_pipeline(fn):
                 stream_columns=None, **kwargs):
         """``stream_columns``: process the grid out-of-core in chunks of
         that many columns (the dask-chunking analogue; one compile, chunk
-        transfers overlap compute — see ``parallel.stream_map``)."""
-        if stream_columns and mesh is not None:
-            raise ValueError(
-                'stream_columns and mesh are mutually exclusive: streaming '
-                'runs chunks on the default device (shard each chunk '
-                'yourself via parallel.stream_map if both are needed)')
-        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=mesh)
+        transfers overlap compute — see ``parallel.stream_map``).  With
+        ``mesh`` as well, each chunk shards over the mesh, so grids larger
+        than one device's HBM stream through all devices SPMD."""
+        # When streaming, the full grid must never be device_put whole —
+        # chunks are placed (and mesh-sharded) one at a time inside
+        # stream_map.
+        fields, batch_dims = from_dataset(
+            dat, vert_dim=vert_dim, mesh=None if stream_columns else mesh)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
             from .parallel import stream_map
             out = stream_map(lambda d: run(d, tables=tables), fields,
-                             batch_columns=stream_columns, jit=False)
+                             batch_columns=stream_columns, jit=False,
+                             mesh=mesh)
         else:
             out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
