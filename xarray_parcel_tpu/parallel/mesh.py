@@ -70,7 +70,12 @@ def shard_batch(tree, mesh, batch_dims=1):
     by shape — broadcast such fields to the batch before ingest.)
     """
     def put(x):
-        x = jnp.asarray(x)
+        if not hasattr(x, 'ndim'):
+            x = np.asarray(x)
+        # device_put straight from host numpy: each shard transfers to its
+        # own device (dtypes canonicalize the same as jnp.asarray would).
+        # A jnp.asarray first would stage the WHOLE array on the default
+        # device and then reshard — double placement.
         bd = min(batch_dims, x.ndim)
         return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, x.ndim,
                                                                 bd)))
