@@ -590,3 +590,21 @@ def test_fieldset_is_a_pytree():
     back = jax.tree_util.tree_unflatten(treedef, flat)
     assert isinstance(back, FieldSet)
     assert back.attrs['cape']['description'] == 'custom'
+
+
+def test_dataset_mesh_whole_grid_matches_direct(dat):
+    """conv_properties(dat, mesh=): the whole grid ingests sharded over
+    the mesh (from_dataset -> shard_batch) and matches the unsharded run."""
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+
+    # from_dataset shards the LEADING batch dim (latitude=3) over the
+    # mesh, so the mesh size must divide it (the uneven case is
+    # pad_batch's job, pinned in test_sharding.py).
+    mesh = make_mesh(jax.devices('cpu')[:3])
+    direct = xarray_api.conv_properties(dat)
+    sharded = xarray_api.conv_properties(dat, mesh=mesh)
+    for k in direct.data_vars:
+        np.testing.assert_allclose(
+            np.asarray(sharded[k].values), np.asarray(direct[k].values),
+            atol=1e-6, rtol=1e-9, equal_nan=True, err_msg=k)

@@ -254,7 +254,10 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     them to device on first use, avoiding a double placement; with ``mesh``
     they are ``jax.Array``s sharded over its leading axis (the TPU analogue
     of the reference's dask chunking,
-    reference: modules/parcel_functions.py:561-592).
+    reference: modules/parcel_functions.py:561-592).  The mesh size must
+    divide the LEADING batch dim (XLA divisibility); for grids that do
+    not divide, stream with ``stream_columns=`` + ``mesh=`` (chunks pad
+    internally) or pad via ``parallel.pad_batch`` before ingest.
     """
     names = variables or [v for v in _LEVEL_VARS if v in dat] + \
         [v for v in ('surface_wind_u', 'surface_wind_v') if v in dat]
