@@ -599,8 +599,7 @@ def test_dataset_mesh_whole_grid_matches_direct(dat):
     from xarray_parcel_tpu.parallel import make_mesh
 
     # from_dataset shards the LEADING batch dim (latitude=3) over the
-    # mesh, so the mesh size must divide it (the uneven case is
-    # pad_batch's job, pinned in test_sharding.py).
+    # mesh; here the mesh size divides it exactly (no padding involved).
     mesh = make_mesh(jax.devices('cpu')[:3])
     direct = xarray_api.conv_properties(dat)
     sharded = xarray_api.conv_properties(dat, mesh=mesh)
@@ -608,3 +607,40 @@ def test_dataset_mesh_whole_grid_matches_direct(dat):
         np.testing.assert_allclose(
             np.asarray(sharded[k].values), np.asarray(direct[k].values),
             atol=1e-6, rtol=1e-9, equal_nan=True, err_msg=k)
+
+
+def test_dataset_mesh_nondivisible_grid_pads_and_matches(dat):
+    """conv_properties(dat, mesh=) on a grid the mesh does NOT divide:
+    the pipeline pads the leading batch dim to a mesh multiple, computes
+    sharded, and slices the padding off — outputs equal the unsharded run
+    bit-for-bit on values and NaN pattern.  The reference's dask chunking
+    accepts arbitrary grids the same way (reference:
+    modules/parcel_functions.py:561-579; its own eval grid is 101x101)."""
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices('cpu')[:8])     # latitude=3: 8 ∤ 3
+    direct = xarray_api.conv_properties(dat)
+    sharded = xarray_api.conv_properties(dat, mesh=mesh)
+    for k in direct.data_vars:
+        a = np.asarray(direct[k].values)
+        b = np.asarray(sharded[k].values)
+        assert a.shape == b.shape, k
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_array_equal(np.where(np.isnan(a), 0.0, a),
+                                      np.where(np.isnan(b), 0.0, b),
+                                      err_msg=k)
+    # Coordinates survive at the ORIGINAL grid shape.
+    assert sharded['mu_cape'].dims == direct['mu_cape'].dims
+
+
+def test_from_dataset_nondivisible_mesh_raises(dat):
+    """Direct from_dataset(mesh=) keeps the divisibility contract (it
+    returns fields at the input batch shape) but fails loudly with a
+    pointer at the auto-padding pipeline path."""
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    with pytest.raises(ValueError, match='pad'):
+        xarray_api.from_dataset(dat, mesh=mesh)

@@ -254,10 +254,15 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     them to device on first use, avoiding a double placement; with ``mesh``
     they are ``jax.Array``s sharded over its leading axis (the TPU analogue
     of the reference's dask chunking,
-    reference: modules/parcel_functions.py:561-592).  The mesh size must
-    divide the LEADING batch dim (XLA divisibility); for grids that do
-    not divide, stream with ``stream_columns=`` + ``mesh=`` (chunks pad
-    internally) or pad via ``parallel.pad_batch`` before ingest.
+    reference: modules/parcel_functions.py:561-592).  Here the mesh size
+    must divide the LEADING batch dim (XLA divisibility), because this
+    function returns fields at the input's batch shape; the pipeline entry
+    points (``conv_properties(dat, mesh=...)`` etc.) accept ANY grid —
+    they pad -> shard -> compute -> slice internally, exactly as the
+    reference's dask chunking accepts arbitrary grids (reference:
+    modules/parcel_functions.py:561-579) — as does streaming
+    (``stream_columns=`` + ``mesh=``).  For direct use on a non-divisible
+    grid, pad via ``parallel.pad_batch`` first and slice results yourself.
     """
     names = variables or [v for v in _LEVEL_VARS if v in dat] + \
         [v for v in ('surface_wind_u', 'surface_wind_v') if v in dat]
@@ -279,6 +284,13 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
 
     if mesh is not None:
         from .parallel import shard_batch
+        lead = next(iter(fields.values())).shape[0]
+        if lead % mesh.devices.size:
+            raise ValueError(
+                f'mesh size {mesh.devices.size} does not divide the leading '
+                f'batch dim {lead}; the pipeline entry points '
+                f'(conv_properties(dat, mesh=...)) pad automatically, or '
+                f'pad via parallel.pad_batch before from_dataset')
         fields = shard_batch(fields, mesh, batch_dims=1)
     return fields, batch_dims
 
@@ -304,8 +316,7 @@ def _dataset_pipeline(fn):
         # When streaming, the full grid must never be device_put whole —
         # chunks are placed (and mesh-sharded) one at a time inside
         # stream_map.
-        fields, batch_dims = from_dataset(
-            dat, vert_dim=vert_dim, mesh=None if stream_columns else mesh)
+        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=None)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
@@ -313,6 +324,18 @@ def _dataset_pipeline(fn):
             out = stream_map(lambda d: run(d, tables=tables), fields,
                              batch_columns=stream_columns, jit=False,
                              mesh=mesh)
+        elif mesh is not None:
+            # Any grid shards: pad the leading batch dim to a mesh
+            # multiple (columns are independent, NaN rows are inert),
+            # compute sharded, slice the padding back off — the reference's
+            # dask chunking likewise accepts arbitrary grid shapes
+            # (reference: modules/parcel_functions.py:561-579).
+            from .parallel import pad_batch, shard_batch
+            fields, lead = pad_batch(fields, mesh)
+            fields = shard_batch(fields, mesh, batch_dims=1)
+            out = run(fields, tables=tables)
+            out = {k: (v[:lead] if getattr(v, 'ndim', 0) else v)
+                   for k, v in out.items()}
         else:
             out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
