@@ -7,6 +7,11 @@ moist-lapse oracle (``adiabat.moist_lapse_integrate``) stands in for the
 table consumer — the reference monkeypatches MetPy's ``moist_lapse`` the same
 way (reference: modules/unit_tests.py:114-140 and demo notebook cell 33);
 table-backend accuracy is tested separately in test_adiabat.py.
+
+Attribution: the truth constants (expected values, soundings, tolerances)
+in this file derive from MetPy's test suite (Copyright 2008-2023 MetPy
+Developers, BSD 3-Clause) via the reference's modules/unit_tests.py — see
+the repository NOTICE file.  The test code itself is freshly written.
 """
 
 import jax.numpy as jnp

@@ -70,3 +70,31 @@ def test_compact_left_matches_device_op():
     for k in fields:
         np.testing.assert_allclose(host[k], np.asarray(dev[k], np.float32),
                                    equal_nan=True, atol=0)
+
+
+def test_compact_left_preserves_f64():
+    """compact_left is dtype-preserving: float64 archive arrays compact in
+    float64 (no silent downcast), mixed-dtype dicts keep each leaf's dtype,
+    and the result matches the f32 kernel's pattern exactly."""
+    rng = np.random.default_rng(7)
+    p = -np.sort(-rng.uniform(100, 1050, (16, 12)), axis=-1)
+    for i, n in enumerate(rng.integers(0, 4, 16)):
+        p[i, :n] = np.nan
+    t = rng.normal(280, 10, (16, 12))
+    t[np.isnan(p)] = np.nan
+    # Pure-f64 dict: key field stays f64 too, values keep full precision.
+    out64 = native.compact_left({'pressure': p, 't': t}, 'pressure')
+    assert out64['pressure'].dtype == np.float64
+    assert out64['t'].dtype == np.float64
+    # Mixed dict: f32 leaves ride the kernel, f64 leaves keep precision;
+    # both see the same compaction pattern.
+    mixed = native.compact_left(
+        {'pressure': p.astype(np.float32), 't64': t}, 'pressure')
+    assert mixed['pressure'].dtype == np.float32
+    assert mixed['t64'].dtype == np.float64
+    ref32 = native.compact_left(
+        {'pressure': p.astype(np.float32), 't': t.astype(np.float32)},
+        'pressure')
+    np.testing.assert_allclose(mixed['t64'].astype(np.float32), ref32['t'],
+                               equal_nan=True, atol=0)
+    np.testing.assert_array_equal(np.isnan(out64['t']), np.isnan(ref32['t']))

@@ -15,6 +15,11 @@ test list (reference: modules/unit_tests.py:19-77) maps 1:1 onto ours:
 * ``test_insert_level`` — the reference's 2-column duplicate-pressure case
   (reference: modules/unit_tests.py:1388-1411); also covered by
   test_ops.py::test_insert_level_golden.
+
+Attribution: the truth constants (expected values, soundings, tolerances)
+in this file derive from MetPy's test suite (Copyright 2008-2023 MetPy
+Developers, BSD 3-Clause) via the reference's modules/unit_tests.py — see
+the repository NOTICE file.  The test code itself is freshly written.
 """
 
 import jax.numpy as jnp

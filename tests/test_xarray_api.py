@@ -259,6 +259,40 @@ def test_valid_data_dataset(dat):
     assert mask.sum() == mask.size - 1
 
 
+def test_valid_data_vert_coord_increments(dat):
+    """The OTHER half of the reference's invariant (reference:
+    modules/parcel_functions.py:2316-2319): the vertical index coordinate
+    must increment by exactly 1 — raises under strict, all-False mask
+    otherwise.  |diff| == 1 (descending unit steps allowed, as in the
+    reference's abs())."""
+    bad = dat.copy()
+    lv = np.asarray(bad.coords['model_level_number'].values).copy()
+    lv[5:] += 3   # a gap of 4 between levels 4 and 5
+    bad = bad.assign_coords({'model_level_number': lv})
+    with pytest.raises(ValueError, match='increments'):
+        xarray_api.valid_data(bad)
+    mask = xarray_api.valid_data(bad, strict=False)
+    assert mask.shape == dat['surface_wind_u'].shape and not mask.any()
+    # Descending unit increments satisfy the reference's abs-diff check.
+    desc = dat.assign_coords(
+        {'model_level_number':
+         np.asarray(dat.coords['model_level_number'].values)[::-1].copy()})
+    assert xarray_api.valid_data(desc).all()
+
+
+def test_jitted_unhashable_static_warns():
+    """Unhashable static options fall back to per-call re-jits — loudly."""
+    import jax.numpy as jnp
+    from xarray_parcel_tpu.xarray_api import _jitted
+
+    def f(x, opt=None):
+        return x + (0.0 if opt is None else float(opt[0]))
+
+    with pytest.warns(UserWarning, match='re-jits'):
+        run = _jitted(f, (('opt', [1.0]),))   # list: unhashable
+    assert float(run(jnp.float32(1.0))) == 2.0
+
+
 def test_conv_properties_streamed(dat):
     # Out-of-core streaming (the dask-chunking analogue) must match the
     # direct whole-grid run exactly.

@@ -131,29 +131,39 @@ def levels_to_last(arr):
 
 def compact_left(fields, key):
     """Host-side left-compaction of leading NaNs (in the ``key`` field's NaN
-    pattern) across a dict of (…, L) float32 arrays.  Returns new arrays.
+    pattern) across a dict of (…, L) float arrays.  Dtype-preserving:
+    float32 arrays ride the C++ kernel, other float dtypes take an
+    equivalent NumPy path in their own precision (non-float inputs are cast
+    to float32 so the NaN fill is representable).  Returns new arrays.
     Device-side equivalent: ops.compact_left."""
-    key_arr = np.ascontiguousarray(fields[key], np.float32)
+    def _as_float(v):
+        a = np.ascontiguousarray(v)
+        return a if np.issubdtype(a.dtype, np.floating) else \
+            a.astype(np.float32)
+
+    key_arr = _as_float(fields[key])
     L = key_arr.shape[-1]
-    out = {k: np.ascontiguousarray(v, np.float32).copy()
-           for k, v in fields.items()}
+    out = {k: _as_float(v).copy() for k, v in fields.items()}
     lib = _load()
-    if lib is not None:
+    f32 = {k: v for k, v in out.items() if v.dtype == np.float32}
+    if lib is not None and f32 and key_arr.dtype == np.float32:
         n_cols = key_arr.size // L
-        arrs = list(out.values())
+        arrs = list(f32.values())
         ptrs = (ctypes.POINTER(ctypes.c_float) * len(arrs))(
             *[_ptr(a, ctypes.c_float) for a in arrs])
         lib.xpt_compact_left_f32(_ptr(key_arr, ctypes.c_float), ptrs,
                                  len(arrs), n_cols, L)
-        return out
-    # NumPy fallback.
+        rest = {k: v for k, v in out.items() if v.dtype != np.float32}
+    else:
+        rest = out
+    # NumPy path (fallback, and any non-f32 float arrays — dtype-preserving).
     flatk = key_arr.reshape(-1, L)
     lead = np.argmax(~np.isnan(flatk), axis=-1)
     lead = np.where(np.isnan(flatk).all(-1), 0, lead)
     idx = lead[:, None] + np.arange(L)[None, :]
     valid = idx < L
     idx = np.minimum(idx, L - 1)
-    for k, v in out.items():
+    for k, v in rest.items():
         flat = v.reshape(-1, L)
         shifted = np.take_along_axis(flat, idx, axis=-1)
         shifted[~valid] = np.nan

@@ -80,7 +80,15 @@ def _jitted(fn, static_items=()):
         key = hash((fn, tuple(static_items)))
     except TypeError:
         # An unhashable static option (list/array value): fall back to an
-        # uncached jit — correct, just recompiled per call.
+        # uncached jit — correct, just recompiled per call.  That recompile
+        # costs seconds (tens of seconds over a remote-compile tunnel), so
+        # say so once instead of silently burning it every call.
+        import warnings
+        warnings.warn(
+            f'unhashable static option(s) {[k for k, _ in static_items]!r} '
+            f'for {getattr(fn, "__name__", fn)}: every call re-jits '
+            '(seconds per call); pass hashable values (tuples, scalars) to '
+            'reuse the compiled program', stacklevel=3)
         return jax.jit(functools.partial(fn, **dict(static_items)))
     key = (fn, tuple(static_items))
     if key not in _JIT_CACHE:
@@ -361,13 +369,28 @@ def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
 
 
 def valid_data(dat, vert_dim=DEFAULT_VERT_DIM, strict=True):
-    """Validate the reference's input invariants (pressure strictly
-    decreasing with level; reference: modules/parcel_functions.py:2308-2321)
-    on a Dataset via the native ingest runtime.  Returns the per-column
-    validity mask; with ``strict`` raises if any column is invalid."""
+    """Validate the reference's input invariants on a Dataset: the vertical
+    index coordinate increments by exactly 1 between levels, and pressure
+    strictly decreases with level (reference:
+    modules/parcel_functions.py:2308-2321).  The pressure half runs through
+    the native ingest runtime per column; the increment half is a
+    whole-coordinate property.  Returns the per-column validity mask (all
+    False when the coordinate itself is invalid); with ``strict`` raises
+    ValueError on any violation."""
     from . import api as _api
     batch_dims = _batch_dims_of([dat['pressure']], vert_dim)
     p = _lower(dat['pressure'], vert_dim, batch_dims)
+    vert = None
+    if hasattr(dat, 'coords') and vert_dim in getattr(dat, 'coords', {}):
+        c = dat.coords[vert_dim]
+        vert = np.asarray(c.values if hasattr(c, 'values') else c)
+    else:
+        vert = _vert_coord_of([dat['pressure']], vert_dim)
+    if vert is not None and len(vert) > 1:
+        if not np.all(np.abs(np.diff(np.asarray(vert, dtype=float))) == 1):
+            if strict:
+                raise ValueError('Index increments must all be 1.')
+            return np.zeros(np.asarray(p).shape[:-1], dtype=bool)
     return _api.valid_data({'pressure': np.asarray(p)}, strict=strict)
 
 
