@@ -8,14 +8,22 @@ conv_properties + storm_proxies output, produced on the fp64 CPU backend.
 
 Regenerate (only when output semantics intentionally change):
     python tests/make_regression_archive.py
+
+Regeneration over an existing archive prints the reference's per-variable
+drift table (max abs / max rel / NaN-pattern — reference:
+environment_changes_eval.ipynb cells 9-14, via ``utils.compare_archives``)
+and writes it to data/regression_drift.json, so every intentional semantic
+change ships with a quantified, committed drift record.
 """
 
+import json
 import os
 
 import numpy as np
 
 ARCHIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'data',
                        'regression_conv_properties.npz')
+DRIFT = os.path.join(os.path.dirname(ARCHIVE), 'regression_drift.json')
 
 
 def make_inputs(ny=6, nx=6, L=40, seed=20260816):
@@ -105,6 +113,15 @@ def main():
                 f'output {k!r} is unintentionally all-NaN'
     assert np.isfinite(out['ship']).any(), \
         'no archive column lands inside the SHIP validity windows'
+    if os.path.exists(ARCHIVE):
+        # Quantify the drift vs the archive being replaced (the reference's
+        # current-vs-historic evaluation) and commit the record alongside.
+        from xarray_parcel_tpu.utils import compare_archives
+        print(f'drift vs existing {os.path.basename(ARCHIVE)}:')
+        report = compare_archives(out, ARCHIVE)
+        with open(DRIFT, 'w') as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f'wrote {DRIFT}')
     os.makedirs(os.path.dirname(ARCHIVE), exist_ok=True)
     np.savez_compressed(ARCHIVE,
                         **{f'in_{k}': v for k, v in inputs.items()},

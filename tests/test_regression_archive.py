@@ -42,3 +42,38 @@ def test_conv_properties_regression():
         np.testing.assert_allclose(
             np.nan_to_num(a), np.nan_to_num(b), atol=1e-4 * scale, rtol=1e-6,
             err_msg=f'value drift in {k}')
+
+
+@pytest.mark.skipif(not os.path.exists(ARCHIVE),
+                    reason='archive not generated')
+def test_compare_archives_drift_table(capsys):
+    """The archive-vs-archive drift tool (the reference's current-vs-
+    historic evaluation, environment_changes_eval.ipynb cells 9-14):
+    self-comparison is clean; a perturbed copy is flagged per variable,
+    including NaN-pattern changes and asymmetric key sets."""
+    from xarray_parcel_tpu.utils import compare_archives
+
+    # Path in, self-comparison: everything equal.
+    report = compare_archives(ARCHIVE, ARCHIVE, print_report=False)
+    assert report['equal'] and report['n_differs'] == 0
+    assert not report['only_in_current'] and not report['only_in_historic']
+    assert len(report['variables']) > 20
+
+    # Perturb one value, flip one NaN, drop one variable, add one.
+    with np.load(ARCHIVE) as f:
+        cur = {k[4:]: np.array(f[k]) for k in f.files if k.startswith('out_')}
+    cur['mu_cape'] = cur['mu_cape'] + 5.0
+    flh = cur['freezing_level']
+    flh.flat[np.flatnonzero(~np.isnan(flh))[0]] = np.nan
+    dropped = cur.pop('ship')
+    cur['new_diag'] = dropped
+    report = compare_archives(cur, ARCHIVE)
+    out = capsys.readouterr().out
+    assert not report['equal']
+    by_name = {r['name']: r for r in report['variables']}
+    assert not by_name['mu_cape']['within_tolerance']
+    assert by_name['mu_cape']['max_abs_diff'] == pytest.approx(5.0)
+    assert not by_name['freezing_level']['nan_pattern_equal']
+    assert report['only_in_current'] == ['new_diag']
+    assert report['only_in_historic'] == ['ship']
+    assert 'mu_cape' in out and 'DIFFERS' in out and 'only in historic' in out
