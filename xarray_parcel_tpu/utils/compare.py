@@ -24,10 +24,17 @@ def compare(x, y, name='value', tolerance=1e-5):
     diffs = np.abs(x - y)
     with np.errstate(divide='ignore', invalid='ignore'):
         rel = diffs / np.abs(y) * 100.0
-    max_abs = float(np.nanmax(diffs)) if diffs.size else 0.0
-    max_rel = float(np.nanmax(rel)) if rel.size else 0.0
+    # nanmax on an all-NaN slice (all-NaN variable, or 0/0 relative diffs)
+    # is a 0.0 drift, not a warning.
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        max_abs = float(np.nanmax(diffs)) if diffs.size else 0.0
+        max_rel = float(np.nanmax(rel)) if rel.size else 0.0
     if np.isnan(max_abs):
         max_abs = 0.0                       # all-NaN comparison
+    if np.isnan(max_rel):
+        max_rel = 0.0
     ok = nan_equal and max_abs <= tolerance
     return {'name': name, 'max_abs_diff': max_abs,
             'max_rel_diff_pct': max_rel, 'nan_pattern_equal': nan_equal,
