@@ -52,6 +52,27 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def _put_global(x, sharding):
+    """device_put that works under multi-process (multi-host) meshes.
+
+    Multi-process ``jax.device_put`` verifies the value is identical on
+    every process with an elementwise comparison — which a NaN anywhere
+    (NaN-padded grids, the lookup tables' invalid regions) fails by
+    definition.  ``make_array_from_callback`` is the real multi-host
+    ingest: each process materialises only its addressable shards, no
+    consistency broadcast.  Single-process keeps the direct device_put
+    (host numpy transfers straight to each shard's device).
+    """
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        dt = jax.dtypes.canonicalize_dtype(x.dtype)   # match device_put
+        if x.dtype != dt:
+            x = x.astype(dt)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 def batch_spec(mesh, ndim, batch_dims=1):
     """PartitionSpec sharding the leading ``batch_dims`` dims over the mesh
     axes (one mesh axis per batch dim, in order), rest replicated."""
@@ -77,8 +98,8 @@ def shard_batch(tree, mesh, batch_dims=1):
         # A jnp.asarray first would stage the WHOLE array on the default
         # device and then reshard — double placement.
         bd = min(batch_dims, x.ndim)
-        return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, x.ndim,
-                                                                bd)))
+        return _put_global(x, NamedSharding(mesh, batch_spec(mesh, x.ndim,
+                                                             bd)))
     return jax.tree_util.tree_map(put, tree)
 
 
@@ -114,7 +135,7 @@ def pad_batch(tree, mesh, fill=np.nan):
 def replicate(tree, mesh):
     """device_put a pytree fully replicated (for the adiabat tables)."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, replicated(mesh)), tree)
+        lambda x: _put_global(x, replicated(mesh)), tree)
 
 
 def sharded_jit(fn, mesh, batch_dims=1, donate=False):
