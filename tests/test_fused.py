@@ -214,3 +214,63 @@ def test_fused_duplicate_pressure_levels(tables):
     res_f, _ = fused.fused_surface_cape_cin(p1, t1, td1, tables=tables)
     assert abs(float(res_f['cape']) - 230.2007) < 1e-3
     assert abs(float(res_f['cin']) - -58.0671) < 1e-3
+
+
+def test_vmem_sizing_derived_and_tiny_budget(tables, monkeypatch):
+    """Block sizing is DERIVED (liveness scan over the traced column
+    program), not hand-tuned: the estimate lands in the measured-good
+    window at the production config, and a forced tiny VMEM budget clamps
+    TB all the way down while still completing with identical results."""
+    for li, prof in ((False, False), (True, False), (True, True)):
+        per_col = fused._live_bytes_per_column(90, 42, 'float32', li, prof,
+                                               (), 'rows')
+        tb = max(8, (11 << 20) // per_col // 8 * 8)
+        # TB=256 measured good; (L, 512) blocks measured OOM (round 2/3).
+        assert 128 <= tb < 512, (li, prof, tb)
+
+    p, t, td = _grid(B=40, L=30)
+    ref, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    monkeypatch.setenv('XPARCEL_TPU_VMEM_BUDGET', str(64 << 10))  # 64 KiB
+    tiny, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    np.testing.assert_allclose(np.asarray(tiny['cape']),
+                               np.asarray(ref['cape']), atol=1e-6,
+                               equal_nan=True)
+    np.testing.assert_allclose(np.asarray(tiny['cin']),
+                               np.asarray(ref['cin']), atol=1e-6,
+                               equal_nan=True)
+
+
+def test_vmem_oom_retry_self_heals(tables, monkeypatch):
+    """A Mosaic VMEM overflow (opaque HTTP 500 over the tunnel) on a
+    concrete call self-heals: the kernel retries at halved TB, records the
+    surviving value for the config, and later calls start from it."""
+    real_core = fused._diff_core
+    attempts = []
+
+    def flaky_core(TB, L, K, interpret, *args):
+        attempts.append(TB)
+        if TB > 64:
+            def boom(*a, **k):
+                raise RuntimeError('MOSAIC: VMEM OOM (simulated)')
+            return boom
+        return real_core(TB, L, K, True, *args)   # interpret: runs on CPU
+
+    p, t, td = _grid(B=256, L=30)
+    ref, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables)
+    monkeypatch.setattr(fused, '_diff_core', flaky_core)
+    monkeypatch.setattr(fused, '_TB_GOOD', {})
+    with pytest.warns(UserWarning, match='retrying at TB='):
+        res, sol = fused.fused_surface_cape_cin(p, t, td, tables=tables,
+                                                interpret=False)
+    assert attempts[0] > 64 and attempts[-1] <= 64, attempts
+    np.testing.assert_allclose(np.asarray(res['cape']),
+                               np.asarray(ref['cape']), atol=1e-6,
+                               equal_nan=True)
+    # The surviving TB is recorded: the next call goes straight there.
+    attempts.clear()
+    res2, _ = fused.fused_surface_cape_cin(p, t, td, tables=tables,
+                                           interpret=False)
+    assert attempts == [attempts[0]] and attempts[0] <= 64, attempts
+    np.testing.assert_allclose(np.asarray(res2['cape']),
+                               np.asarray(res['cape']), atol=0,
+                               equal_nan=True)

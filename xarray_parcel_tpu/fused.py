@@ -212,6 +212,84 @@ def _column_outputs(p, t, td, row, scalars, axis, with_lifted_index,
     return tuple(vals)
 
 
+# Mosaic's real VMEM allocation vs the jaxpr's ideal liveness, calibrated
+# once: at the base config the liveness scan below reports ~18.6 live
+# (TB, L+1)-equivalent buffers while the measured fit is ~90 (TB=256 runs,
+# (L, TB=512) blocks OOM) — Mosaic double-buffers block I/O, keeps op
+# temporaries, and does not reuse registers/VMEM as aggressively as a
+# last-use scan.  The factor auto-scales with kernel changes because the
+# underlying liveness is re-derived from the traced program each time.
+_MOSAIC_LIVE_FACTOR = 5.0
+
+
+@functools.lru_cache(maxsize=64)
+def _live_bytes_per_column(L, K, dtype_str, with_lifted_index, with_profile,
+                           kwargs_items, layout='rows'):
+    """Peak live bytes per column of the kernel's column program, derived
+    from a last-use liveness scan over its traced jaxpr (times the
+    calibrated Mosaic allocation factor, plus double-buffered block I/O).
+    Replaces the hand-tuned live-array constants this function's history
+    carried: any kernel change now re-derives the estimate."""
+    import numpy as np
+    dtype = jnp.dtype(dtype_str)
+    nominal_tb = 8
+    axis = 0 if layout == 'columns' else -1
+    if axis == -1:
+        shapes = ([jax.ShapeDtypeStruct((nominal_tb, L), dtype)] * 3 +
+                  [jax.ShapeDtypeStruct((nominal_tb, K), dtype),
+                   jax.ShapeDtypeStruct((nominal_tb, 7), dtype)])
+    else:
+        shapes = ([jax.ShapeDtypeStruct((L, nominal_tb), dtype)] * 3 +
+                  [jax.ShapeDtypeStruct((K, nominal_tb), dtype),
+                   jax.ShapeDtypeStruct((7, nominal_tb), dtype)])
+    kwargs = dict(kwargs_items)
+    jaxpr = jax.make_jaxpr(
+        lambda p, t, td, row, sc: _column_outputs(
+            p, t, td, row, sc, axis, with_lifted_index, with_profile,
+            kwargs))(*shapes).jaxpr
+
+    def nbytes(v):
+        aval = getattr(v, 'aval', None)
+        if aval is None or not hasattr(aval, 'shape'):
+            return 0
+        return int(np.prod(aval.shape, dtype=np.int64)) * aval.dtype.itemsize
+
+    is_var = lambda v: not hasattr(v, 'val')    # Literals carry .val
+    last_use = {}
+    for i, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.invars:
+            if is_var(v):
+                last_use[v] = i
+    for v in jaxpr.outvars:
+        if is_var(v):
+            last_use[v] = len(jaxpr.eqns)
+    live = {v: nbytes(v) for v in jaxpr.invars}
+    cur = sum(live.values())
+    peak = cur
+    for i, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.outvars:
+            if v not in live:
+                live[v] = nbytes(v)
+                cur += live[v]
+        peak = max(peak, cur)
+        for v in [v for v in live if last_use.get(v, len(jaxpr.eqns)) <= i]:
+            cur -= live.pop(v)
+
+    itemsize = dtype.itemsize
+    # Double-buffered block I/O: inputs (3 level blocks + row + scalars) and
+    # outputs (scalar columns + optional profile blocks), 2 buffers each.
+    n_scalar = 7 if with_lifted_index else 6
+    n_prof = 3 if with_profile else 0
+    io_cols = (3 * L + K + 7) + (n_scalar + n_prof * (L + 1))
+    per_col = peak / nominal_tb * _MOSAIC_LIVE_FACTOR + 2 * io_cols * itemsize
+    return max(1, int(per_col))
+
+
+# TB values proven to compile+run on this backend, per kernel config —
+# populated by the OOM-retry path below ("measure once per config").
+_TB_GOOD = {}
+
+
 @functools.lru_cache(maxsize=64)
 def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
                kwargs_items, layout='rows'):
@@ -378,48 +456,77 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                          lcls['lcl_virtual_temperature'], w0, t0, p0, k0],
                         axis=-1).astype(p.dtype)       # (B, 7)
 
-    # --- pad the column count to a whole number of blocks (NaN columns) ---
-    # Block height auto-clamps so the kernel's live (TB, L+1) arrays fit VMEM
-    # (~16 MB scoped limit; TB=256 at L=91 measured optimal for the base
-    # config, TB=512 OOMs => ~90 live arrays).  The optional tracks raise the
-    # live count: ptemp/etemp thread through insert_level + the crossing set
-    # (~+30), and profile outputs add three more (TB, L+1) buffers.
-    live_arrays = 90
-    if with_lifted_index or with_profile:
-        live_arrays += 30
-    if with_profile:
-        live_arrays += 6
-    vmem_budget = 11 << 20
-    itemsize = jnp.dtype(p.dtype).itemsize
-    tb_fit = max(8, vmem_budget // ((L + 1) * itemsize * live_arrays)
-                 // 8 * 8)
+    # --- block height: fit the kernel's live VMEM, derived not hand-tuned --
+    # Per-column live bytes come from a liveness scan of the traced column
+    # program (see _live_bytes_per_column) — the scoped VMEM budget is
+    # overridable for testing/odd parts via XPARCEL_TPU_VMEM_BUDGET.
+    import os
+    kw_key = tuple(sorted(kwargs.items()))
+    cfg = (L, K, str(p.dtype), bool(with_lifted_index), bool(with_profile),
+           kw_key, layout)
+    vmem_budget = int(os.environ.get('XPARCEL_TPU_VMEM_BUDGET', 11 << 20))
+    per_col = _live_bytes_per_column(*cfg)
+    tb_fit = max(8, vmem_budget // per_col // 8 * 8)
     TB = min(block_columns, tb_fit, max(8, B))
-    pad = (-B) % TB
-    if pad:
-        p = jnp.pad(p, ((0, pad), (0, 0)), constant_values=jnp.nan)
-        t = jnp.pad(t, ((0, pad), (0, 0)), constant_values=jnp.nan)
-        td = jnp.pad(td, ((0, pad), (0, 0)), constant_values=jnp.nan)
-        row = jnp.pad(row, ((0, pad), (0, 0)), constant_values=jnp.nan)
-        # Scalars pad with 0.0, NOT NaN: k0 is cast to int32 inside the
-        # kernel and float-NaN-to-int conversion is implementation-defined.
-        # The all-NaN p/t/td rows already force every padded-column output
-        # to NaN; the scalar values never affect real columns.
-        scalars = jnp.pad(scalars, ((0, pad), (0, 0)),
-                          constant_values=0.0)
+    # A TB this config has already proven (or been forced down to) wins.
+    TB = min(TB, _TB_GOOD.get(cfg, TB))
 
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    core = _diff_core(TB, L, K, bool(interpret),
-                      bool(with_lifted_index), bool(with_profile),
-                      tuple(sorted(kwargs.items())), layout)
+    def run(TB):
+        pad = (-B) % TB
+        pp, tt, tdtd, rr, sc = p, t, td, row, scalars
+        if pad:
+            pp = jnp.pad(pp, ((0, pad), (0, 0)), constant_values=jnp.nan)
+            tt = jnp.pad(tt, ((0, pad), (0, 0)), constant_values=jnp.nan)
+            tdtd = jnp.pad(tdtd, ((0, pad), (0, 0)),
+                           constant_values=jnp.nan)
+            rr = jnp.pad(rr, ((0, pad), (0, 0)), constant_values=jnp.nan)
+            # Scalars pad with 0.0, NOT NaN: k0 is cast to int32 inside the
+            # kernel and float-NaN-to-int conversion is implementation-
+            # defined.  The all-NaN p/t/td rows already force every padded-
+            # column output to NaN; the scalar values never affect real
+            # columns.
+            sc = jnp.pad(sc, ((0, pad), (0, 0)), constant_values=0.0)
+        core = _diff_core(TB, L, K, bool(interpret),
+                          bool(with_lifted_index), bool(with_profile),
+                          kw_key, layout)
+        if layout == 'columns':
+            # One (BP, L) -> (L, BP) transpose per input (one HBM pass).
+            return core(pp.T, tt.T, tdtd.T, rr.T, sc.T)
+        return core(pp, tt, tdtd, rr, sc)
+
+    # Self-healing VMEM sizing: on a CONCRETE (non-traced) TPU call, a
+    # Mosaic compile failure (over a remote tunnel: an opaque HTTP 500)
+    # retries at halved TB and records the surviving value for this config
+    # — so an estimate miss degrades throughput, never the run.  Under
+    # jax.jit tracing the failure surfaces at the enclosing compile, where
+    # no retry is possible; the recorded TB from any prior eager call (or
+    # a lowered XPARCEL_TPU_VMEM_BUDGET) applies there too.
+    concrete = not any(isinstance(x, jax.core.Tracer) for x in (p, t, td))
+    if interpret or not concrete:
+        outs = run(TB)
+    else:
+        while True:
+            try:
+                outs = run(TB)
+                _TB_GOOD[cfg] = max(TB, _TB_GOOD.get(cfg, TB))
+                break
+            except Exception as e:                  # Mosaic OOM/HTTP 500
+                if TB <= 8:
+                    raise
+                import warnings
+                warnings.warn(
+                    f'fused kernel failed to compile/run at TB={TB} '
+                    f'({type(e).__name__}); retrying at TB={TB // 2}')
+                TB //= 2
+                _TB_GOOD[cfg] = TB
+
     if layout == 'columns':
-        # One (BP, L) -> (L, BP) transpose per input (a single HBM pass).
-        outs = core(p.T, t.T, td.T, row.T, scalars.T)
         shape = lambda x: x[0, :B].reshape(batch_shape)
         prof = lambda x: x[:, :B].T.reshape(batch_shape + (L + 1,))
     else:
-        outs = core(p, t, td, row, scalars)
         shape = lambda x: x[:B, 0].reshape(batch_shape)
         prof = lambda x: x[:B].reshape(batch_shape + (L + 1,))
 
