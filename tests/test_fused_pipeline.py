@@ -82,3 +82,54 @@ def test_min_conv_properties_fused_matches_modular(tables, dat):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
         np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
                                    atol=1e-6, rtol=1e-9, err_msg=k)
+
+
+def test_mix_slot_write_matches_splice(tables, dat):
+    """mix_layer(grow=False) writes the mixed parcel into the last
+    masked-prefix slot of the ORIGINAL L columns instead of splicing to
+    L+1 — same physical profile, so the fused solve and the full fused
+    pipeline must agree with the splice variant to fp accumulation."""
+    from xarray_parcel_tpu import fused
+    from xarray_parcel_tpu.parcels import mix_layer
+
+    p, t = dat['pressure'], dat['temperature']
+    from xarray_parcel_tpu import thermo
+    dew = thermo.dewpoint_from_specific_humidity(p, t,
+                                                 dat['specific_humidity'])
+    for depth in (100.0, 50.0):
+        spl, mp1 = mix_layer(p, t, dew, depth=depth, grow=True)
+        slo, mp2 = mix_layer(p, t, dew, depth=depth, grow=False)
+        assert slo['pressure'].shape == p.shape
+        assert spl['pressure'].shape == p.shape[:-1] + (p.shape[-1] + 1,)
+        for k in mp1:
+            np.testing.assert_allclose(np.asarray(mp1[k]),
+                                       np.asarray(mp2[k]), atol=0,
+                                       equal_nan=True)
+        # The slot column = the spliced column minus one leading NaN slot.
+        a = np.asarray(spl['pressure'])[:, 1:]
+        np.testing.assert_allclose(a, np.asarray(slo['pressure']),
+                                   atol=0, equal_nan=True)
+        ra, _ = fused.fused_cape_cin(
+            spl['pressure'], spl['temperature'], spl['dewpoint'],
+            parcel_pressure=mp1['pressure'],
+            parcel_temperature=mp1['temperature'],
+            parcel_dewpoint=mp1['dewpoint'], tables=tables)
+        rb, _ = fused.fused_cape_cin(
+            slo['pressure'], slo['temperature'], slo['dewpoint'],
+            parcel_pressure=mp2['pressure'],
+            parcel_temperature=mp2['temperature'],
+            parcel_dewpoint=mp2['dewpoint'], tables=tables)
+        for k in ('cape', 'cin'):
+            np.testing.assert_allclose(np.asarray(ra[k]), np.asarray(rb[k]),
+                                       atol=1e-9, rtol=1e-12,
+                                       equal_nan=True, err_msg=f'{depth}/{k}')
+
+    full_a = pipeline.conv_properties_fused(dat, tables=tables,
+                                            mix_grow=True)
+    full_b = pipeline.conv_properties_fused(dat, tables=tables)
+    assert set(full_a) == set(full_b)
+    for k in full_a:
+        a, b = np.asarray(full_a[k]), np.asarray(full_b[k])
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-9, rtol=1e-12, err_msg=k)

@@ -28,23 +28,34 @@ def lifted_index(profile):
     return {'lifted_index': env - parcel}
 
 
-def deep_convective_index(pressure, temperature, dewpoint, lifted_index):
+def deep_convective_index(pressure, temperature, dewpoint, lifted_index,
+                          anchors_850=None):
     """Kunz (2009) DCI: T850C + Td850C - LI
-    (reference: modules/parcel_functions.py:1830-1870)."""
-    t850, td850 = interp_many((temperature, dewpoint), pressure, 850.0,
-                              log=True)
+    (reference: modules/parcel_functions.py:1830-1870).
+
+    ``anchors_850``: optional precomputed ``(t850, td850)`` — the pipelines
+    compute them once and share across all three parcel variants' DCIs
+    (the LI is the only per-parcel term)."""
+    if anchors_850 is None:
+        anchors_850 = interp_many((temperature, dewpoint), pressure, 850.0,
+                                  log=True)
+    t850, td850 = anchors_850
     return {'dci': (t850 - 273.15) + (td850 - 273.15) - lifted_index}
 
 
 def lapse_rate(pressure, temperature, height, from_pressure=700.0,
-               to_pressure=500.0):
+               to_pressure=500.0, with_isobars=False):
     """Environmental lapse rate [K/km] between two pressure levels
-    (reference: modules/parcel_functions.py:2102-2135)."""
+    (reference: modules/parcel_functions.py:2102-2135).
+
+    ``with_isobars``: also return the interpolated (t_from, t_to) — the
+    pipelines reuse t_to as ``temp_500`` instead of re-interpolating."""
     t_from, h_from = interp_many((temperature, height), pressure,
                                  from_pressure, log=True)
     t_to, h_to = interp_many((temperature, height), pressure, to_pressure,
                              log=True)
-    return (t_to - t_from) / ((h_to - h_from) / 1000.0)
+    rate = (t_to - t_from) / ((h_to - h_from) / 1000.0)
+    return (rate, t_from, t_to) if with_isobars else rate
 
 
 def isobar_temperature(pressure, temperature, isobar):

@@ -237,18 +237,26 @@ def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0):
 
 
 def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None,
-              neighbors=None):
+              neighbors=None, grow=True):
     """Replace the lowest ``depth`` hPa with the fully-mixed parcel as the
     new bottom level (reference: modules/parcel_functions.py:1604-1649).
 
-    Returns (fields dict with (…, L+1) columns — a NaN prefix over the
-    mixed-away levels, then the parcel, then the kept levels — and the mixed
-    parcel dict).  The reference compacts the kept levels down to index 0;
-    here the parcel is spliced in place via the leading-NaN-aware
-    ``insert_level`` (one splice instead of a per-column shift network).
+    Returns (fields dict — a NaN prefix over the mixed-away levels, then
+    the parcel, then the kept levels — and the mixed parcel dict).  The
+    reference compacts the kept levels down to index 0; here the parcel is
+    spliced in place via the leading-NaN-aware ``insert_level``
+    (one splice instead of a per-column shift network).
     ``conserved``/``neighbors``: optional precomputed
     :func:`conserved_fields` / :func:`bridge_neighbors` (share both when
     mixing several depths of the same columns).
+
+    ``grow``: with True (default) the splice produces (…, L+1) columns via
+    ``insert_level``.  With False the parcel is written into the last
+    masked-prefix slot of the ORIGINAL (…, L) columns instead — always a
+    free slot, since the bottom level is by construction within ``depth``
+    hPa of itself and therefore mixed away — skipping the splice's shift
+    network entirely (the fused pipelines' hot path; same physical
+    profile, one level of NaN prefix less).
     """
     pressure = jnp.asarray(pressure)
     mp = mixed_parcel(pressure, temperature, dewpoint, depth=depth,
@@ -264,7 +272,21 @@ def mix_layer(pressure, temperature, dewpoint, depth=100.0, conserved=None,
                                                      pressure.shape),
                               jnp.nan),
     }
-    return insert_level(masked, mp), mp
+    if grow:
+        return insert_level(masked, mp), mp
+    # Slot write: the parcel goes right below the first kept level.  Any
+    # kept level implies first_kept >= 1 (the bottom valid level is always
+    # masked); with nothing kept (the whole column mixed away, or all-NaN)
+    # slot 0 matches insert_level's "insert above a NaN flood" placement.
+    kept = notnan(masked['pressure'])
+    first_kept = jnp.argmax(kept, axis=-1)
+    slot = jnp.where(kept.any(-1), first_kept - 1, 0)[..., None]
+    j = jax.lax.broadcasted_iota(jnp.int32, pressure.shape,
+                                 pressure.ndim - 1)
+    at = j == slot
+    out = {k: jnp.where(at, jnp.asarray(mp[k])[..., None], masked[k])
+           for k in masked}
+    return out, mp
 
 
 def most_unstable_cape_cin(pressure, temperature, dewpoint, depth=300.0,

@@ -64,17 +64,25 @@ def conv_properties(dat, ignore_nans=False, tables=None, moist_lapse=None,
     m100_li = diag.lifted_index(m100_prof)['lifted_index']
     m50_li = diag.lifted_index(m50_prof)['lifted_index']
 
-    mu_dci = diag.deep_convective_index(p, t, dew, mu_li)['dci']
-    m100_dci = diag.deep_convective_index(p, t, dew, m100_li)['dci']
-    m50_dci = diag.deep_convective_index(p, t, dew, m50_li)['dci']
+    # The 850 hPa anchors depend only on the environment — computed once,
+    # shared by all three DCIs (only the LI differs per parcel).
+    from .ops import interp_many
+    anchors_850 = interp_many((t, dew), p, 850.0, log=True)
+    mu_dci = diag.deep_convective_index(p, t, dew, mu_li,
+                                        anchors_850=anchors_850)['dci']
+    m100_dci = diag.deep_convective_index(p, t, dew, m100_li,
+                                          anchors_850=anchors_850)['dci']
+    m50_dci = diag.deep_convective_index(p, t, dew, m50_li,
+                                         anchors_850=anchors_850)['dci']
 
     mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
         thermo.specific_humidity_from_dewpoint(mu_parcel['pressure'],
                                                mu_parcel['dewpoint']))
 
     height = jnp.asarray(dat['height_asl'])
-    lapse = diag.lapse_rate(p, t, height)
-    temp_500 = diag.isobar_temperature(p, t, 500.0)
+    # temp_500 IS the lapse computation's 500 hPa isobar temperature (same
+    # interpolation semantics) — one anchor computation for both outputs.
+    lapse, _, temp_500 = diag.lapse_rate(p, t, height, with_isobars=True)
     flh = diag.freezing_level_height(t, height)
     mlh, _ = diag.melting_level_height(p, t, dew, height, fast=True)
 
@@ -129,7 +137,7 @@ def _fused_solve(fields, parcel, tables, in_kernel_li, layout):
 
 def conv_properties_fused(dat, ignore_nans=False, tables=None,
                           with_attrs=False, in_kernel_li=True,
-                          layout='rows'):
+                          layout='rows', mix_grow=False):
     """``conv_properties`` on the fused-Pallas production path.
 
     Same variables, same semantics (the kernels reuse the same column
@@ -140,6 +148,9 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
     ``in_kernel_li``: compute the lifted index inside the kernel (shared
     interpolation anchors, no profile materialisation); off, profile tracks
     come out of the kernel and the LI interpolates them in XLA.
+    ``mix_grow``: True re-enables the (L+1) insert_level splice for the
+    mixed-layer environments (the slot-write default produces the same
+    physical profile without the splice's shift network — an A/B knob).
     """
     from .parcels import (bridge_neighbors, from_most_unstable_parcel,
                           mix_layer)
@@ -163,10 +174,11 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
     nbrs = bridge_neighbors(p, ~(jnp.isnan(p) | jnp.isnan(t) |
                                  jnp.isnan(dew)))
     m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0,
-                                         conserved=cons, neighbors=nbrs)
+                                         conserved=cons, neighbors=nbrs,
+                                         grow=mix_grow)
     m100 = solve(m100_fields, m100_parcel)
     m50_fields, m50_parcel = mix_layer(p, t, dew, depth=50.0, conserved=cons,
-                                       neighbors=nbrs)
+                                       neighbors=nbrs, grow=mix_grow)
     m50 = solve(m50_fields, m50_parcel)
 
     mu_mixing_ratio = thermo.mixing_ratio_from_specific_humidity(
@@ -174,6 +186,11 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
                                                mu_parcel['dewpoint']))
 
     height = jnp.asarray(dat['height_asl'])
+    # Shared diagnostic anchors: one 850 hPa interpolation for the three
+    # DCIs; temp_500 reused from the lapse computation's 500 hPa isobar.
+    from .ops import interp_many
+    anchors_850 = interp_many((t, dew), p, 850.0, log=True)
+    lapse, _, temp_500 = diag.lapse_rate(p, t, height, with_isobars=True)
     out = {
         'mu_cape': mu['cape'], 'mu_cin': mu['cin'],
         'mu_mixing_ratio': mu_mixing_ratio,
@@ -183,13 +200,13 @@ def conv_properties_fused(dat, ignore_nans=False, tables=None,
         'mixed_100_lifted_index': m100['lifted_index'],
         'mixed_50_lifted_index': m50['lifted_index'],
         'mu_dci': diag.deep_convective_index(
-            p, t, dew, mu['lifted_index'])['dci'],
+            p, t, dew, mu['lifted_index'], anchors_850=anchors_850)['dci'],
         'mixed_100_dci': diag.deep_convective_index(
-            p, t, dew, m100['lifted_index'])['dci'],
+            p, t, dew, m100['lifted_index'], anchors_850=anchors_850)['dci'],
         'mixed_50_dci': diag.deep_convective_index(
-            p, t, dew, m50['lifted_index'])['dci'],
-        'lapse_rate_700_500': diag.lapse_rate(p, t, height),
-        'temp_500': diag.isobar_temperature(p, t, 500.0),
+            p, t, dew, m50['lifted_index'], anchors_850=anchors_850)['dci'],
+        'lapse_rate_700_500': lapse,
+        'temp_500': temp_500,
         'freezing_level': diag.freezing_level_height(t, height),
         'melting_level': diag.melting_level_height(p, t, dew, height,
                                                    fast=True)[0],
@@ -224,8 +241,9 @@ def min_conv_properties(dat, tables=None, moist_lapse=None,
     height = jnp.asarray(dat['height_asl'])
     out = dict(_prefix(m100_cc, 'mixed_100'))
     out['mixed_100_lifted_index'] = m100_li
-    out['lapse_rate_700_500'] = diag.lapse_rate(p, t, height)
-    out['temp_500'] = diag.isobar_temperature(p, t, 500.0)
+    lapse, _, temp_500 = diag.lapse_rate(p, t, height, with_isobars=True)
+    out['lapse_rate_700_500'] = lapse
+    out['temp_500'] = temp_500
     out['freezing_level'] = diag.freezing_level_height(t, height)
     mlh, _ = diag.melting_level_height(p, t, dew, height, fast=True)
     out['melting_level'] = mlh
@@ -254,15 +272,16 @@ def min_conv_properties_fused(dat, tables=None, with_attrs=False,
     q = jnp.asarray(dat['specific_humidity'])
     dew = thermo.dewpoint_from_specific_humidity(p, t, q)
 
-    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0)
+    m100_fields, m100_parcel = mix_layer(p, t, dew, depth=100.0, grow=False)
     res = _fused_solve(m100_fields, m100_parcel, tables, in_kernel_li,
                        layout)
 
     height = jnp.asarray(dat['height_asl'])
     out = {'mixed_100_cape': res['cape'], 'mixed_100_cin': res['cin'],
            'mixed_100_lifted_index': res['lifted_index'],
-           'lapse_rate_700_500': diag.lapse_rate(p, t, height),
-           'temp_500': diag.isobar_temperature(p, t, 500.0),
+           'lapse_rate_700_500': (_l := diag.lapse_rate(
+               p, t, height, with_isobars=True))[0],
+           'temp_500': _l[2],
            'freezing_level': diag.freezing_level_height(t, height),
            'melting_level': diag.melting_level_height(p, t, dew, height,
                                                       fast=True)[0]}
