@@ -254,3 +254,21 @@ def test_stream_map_sharded_chunks_match_direct(mesh):
     stream_map(probe, dat, batch_columns=10, mesh=mesh, jit=False)
     assert len(seen) == 2                      # 27 cols -> 2 chunks of 16
     assert all(len(s.device_set) == 8 for s in seen)
+
+
+def test_stream_map_prefetch_depths_preserve_order():
+    """Background-thread readback with any prefetch depth returns chunks in
+    order (many more chunks than the in-flight bound, uneven tail)."""
+    import numpy as np
+    from xarray_parcel_tpu.parallel import stream_map
+
+    B, L = 101, 7
+    p = np.tile(np.linspace(1000.0, 300.0, L), (B, 1))
+    idx = np.arange(B, dtype=np.float64)
+    dat = {'pressure': p, 'colid': idx}
+    fn = lambda d: {'twice': d['colid'] * 2.0,
+                    'top': d['pressure'][..., -1]}
+    for prefetch in (1, 2, 5):
+        out = stream_map(fn, dat, batch_columns=8, prefetch=prefetch)
+        np.testing.assert_array_equal(out['twice'], idx * 2.0)
+        np.testing.assert_array_equal(out['top'], p[:, -1])

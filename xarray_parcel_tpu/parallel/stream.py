@@ -24,7 +24,8 @@ def _batch_shape(dat, level_vars):
 
 def stream_map(fn, dat, batch_columns=1 << 16,
                level_vars=('pressure', 'temperature', 'dewpoint',
-                           'specific_humidity'), jit=True, mesh=None):
+                           'specific_humidity'), jit=True, mesh=None,
+               prefetch=2):
     """Run ``fn`` (a dict->dict column program, e.g.
     ``pipeline.conv_properties``) over ``dat`` in column chunks.
 
@@ -41,6 +42,13 @@ def stream_map(fn, dat, batch_columns=1 << 16,
     data-parallel paths compose.  The chunk size rounds up to a multiple
     of the mesh size (XLA sharding needs divisibility; padded columns are
     NaN and sliced off as usual).
+
+    ``prefetch``: how many chunks may be resident on device beyond the one
+    being read back (default 2 — classic double buffering).  Result
+    readback runs on a background thread, so a slow device->host path (a
+    remote tunnel's ~20 MB/s) overlaps the next chunks' dispatch instead
+    of serialising against it; device memory stays bounded at
+    ``prefetch + 1`` chunks of outputs.
     """
     batch = _batch_shape(dat, level_vars)
     B = int(np.prod(batch)) if batch else 1
@@ -60,9 +68,6 @@ def stream_map(fn, dat, batch_columns=1 << 16,
         place = lambda chunk: shard_batch(chunk, mesh)
     else:
         place = lambda chunk: {k: jnp.asarray(v) for k, v in chunk.items()}
-    results = []
-    pending = []                      # (slice_len, device outputs)
-
     if B == 0:
         # Empty batch: run one NaN chunk for the output structure, keep 0.
         n0 = mesh.devices.size if mesh is not None else 1
@@ -74,29 +79,41 @@ def stream_map(fn, dat, batch_columns=1 << 16,
         return {k: np.asarray(v)[:0].reshape(batch + np.shape(v)[1:])
                 for k, v in out.items()}
 
-    for start in range(0, B, n_chunk):
-        stop = min(start + n_chunk, B)
-        pad = n_chunk - (stop - start)
-        chunk = {}
-        for k, v in flat.items():
-            c = v[start:stop]
-            if pad:
-                # NaN-pad floats; integer/bool fields (ids, flags) have no
-                # NaN and the padded rows are sliced off regardless (same
-                # rule as parallel.pad_batch).
-                value = (np.nan if np.issubdtype(c.dtype, np.floating)
-                         else np.zeros((), c.dtype))
-                c = np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1),
-                           constant_values=value)
-            chunk[k] = c
-        pending.append((stop - start, jfn(place(chunk))))
-        # Keep at most two chunks in flight (double buffering).
-        if len(pending) > 1:
-            n, out = pending.pop(0)
-            results.append({k: np.asarray(v)[:n]
-                            for k, v in out.items()})
-    for n, out in pending:
-        results.append({k: np.asarray(v)[:n] for k, v in out.items()})
+    def readback(n, out):
+        return {k: np.asarray(jax.device_get(v))[:n] for k, v in out.items()}
+
+    from concurrent.futures import ThreadPoolExecutor
+    results = []
+    futures = []                      # ordered in-flight readbacks
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        for start in range(0, B, n_chunk):
+            stop = min(start + n_chunk, B)
+            pad = n_chunk - (stop - start)
+            chunk = {}
+            for k, v in flat.items():
+                c = v[start:stop]
+                if pad:
+                    # NaN-pad floats; integer/bool fields (ids, flags) have
+                    # no NaN and the padded rows are sliced off regardless
+                    # (same rule as parallel.pad_batch).
+                    value = (np.nan if np.issubdtype(c.dtype, np.floating)
+                             else np.zeros((), c.dtype))
+                    c = np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1),
+                               constant_values=value)
+                chunk[k] = c
+            # Dispatch compute, hand the readback to the background thread
+            # immediately (it blocks there until the chunk completes), and
+            # keep dispatching — bounded by `prefetch` chunks resident
+            # beyond the one being read back.
+            futures.append(pool.submit(readback, stop - start,
+                                       jfn(place(chunk))))
+            while len(futures) > max(1, prefetch):
+                results.append(futures.pop(0).result())
+        for f in futures:
+            results.append(f.result())
+    finally:
+        pool.shutdown(wait=True)
 
     merged = {}
     for k in results[0]:
