@@ -194,11 +194,13 @@ def main():
     # --- full pipeline (the reference's headline benchmark) ---
     # Headline arm: the fused-Pallas production pipeline (three CAPE solves
     # + lifted indices inside kernels, shared interpolation anchors); the
-    # modular XLA pipeline is timed alongside.  2^19 columns: large enough
-    # that the tunnel's ~35 ms dispatch floor is <15% of an iteration; 2^20
-    # sends XLA's scheduler into a minutes-long memory-pressure compile on
-    # this 16 GB chip.
-    B_pipe = 1 << 19
+    # modular XLA pipeline is timed alongside.  1.5 x 2^19 columns: net
+    # throughput is flat in batch (linear scaling), so a bigger batch only
+    # thins the tunnel's ~28 ms dispatch floor — 786k compiles cleanly and
+    # measured 3.08e6 vs 2.98e6 at 2^19 (pipeline_attrition_ab_v5e_r5);
+    # 2^20 sends XLA's scheduler into a minutes-long memory-pressure
+    # compile on this 16 GB chip.
+    B_pipe = (1 << 19) + (1 << 18)
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
     @jax.jit
