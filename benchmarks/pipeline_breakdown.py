@@ -53,12 +53,19 @@ def main():
     p, t, q = dat['pressure'], dat['temperature'], dat['specific_humidity']
 
     def preps(p, t, q):
+        # Mirrors the round-5 pipeline: shared bridge scans, slot-write mix.
+        import jax.numpy as jnp
+        from xarray_parcel_tpu.parcels import bridge_neighbors
         dew = thermo.dewpoint_from_specific_humidity(p, t, q)
         mu_fields, mu_parcel = from_most_unstable_parcel(p, t, dew,
                                                          depth=250.0)
         cons = conserved_fields(p, t, dew)
-        m100 = mix_layer(p, t, dew, depth=100.0, conserved=cons)
-        m50 = mix_layer(p, t, dew, depth=50.0, conserved=cons)
+        nbrs = bridge_neighbors(p, ~(jnp.isnan(p) | jnp.isnan(t) |
+                                     jnp.isnan(dew)))
+        m100 = mix_layer(p, t, dew, depth=100.0, conserved=cons,
+                         neighbors=nbrs, grow=False)
+        m50 = mix_layer(p, t, dew, depth=50.0, conserved=cons,
+                        neighbors=nbrs, grow=False)
         return dew, (mu_fields, mu_parcel), m100, m50
 
     def solves(parcel_args):
@@ -77,12 +84,18 @@ def main():
     def diags(p, t, dew, height, li, dat):
         valid = ~(jnp.isnan(dew).any(-1) | jnp.isnan(p).any(-1) |
                   jnp.isnan(t).any(-1))
+        from xarray_parcel_tpu.ops import interp_many
+        anchors = interp_many((t, dew), p, 850.0, log=True)
+        lapse, _, t500 = diag.lapse_rate(p, t, height, with_isobars=True)
         out = {
-            'mu_dci': diag.deep_convective_index(p, t, dew, li)['dci'],
-            'm100_dci': diag.deep_convective_index(p, t, dew, li)['dci'],
-            'm50_dci': diag.deep_convective_index(p, t, dew, li)['dci'],
-            'lapse_rate_700_500': diag.lapse_rate(p, t, height),
-            'temp_500': diag.isobar_temperature(p, t, 500.0),
+            'mu_dci': diag.deep_convective_index(
+                p, t, dew, li, anchors_850=anchors)['dci'],
+            'm100_dci': diag.deep_convective_index(
+                p, t, dew, li, anchors_850=anchors)['dci'],
+            'm50_dci': diag.deep_convective_index(
+                p, t, dew, li, anchors_850=anchors)['dci'],
+            'lapse_rate_700_500': lapse,
+            'temp_500': t500,
             'freezing_level': diag.freezing_level_height(t, height),
             'melting_level': diag.melting_level_height(p, t, dew, height,
                                                        fast=True)[0],
