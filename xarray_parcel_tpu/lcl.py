@@ -22,13 +22,19 @@ from . import thermo
 from .ops.safe import notnan
 
 
-def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=50):
+def lcl(parcel_pressure, parcel_temperature, parcel_dewpoint, iterations=30):
     """LCL pressure/temperature/virtual temperature of parcels (elementwise).
 
     Returns a dict with ``lcl_pressure`` [hPa], ``lcl_temperature`` [K] and
     ``lcl_virtual_temperature`` [K] (the reference also returns the virtual
     temperature, computed at saturation; reference:
     modules/parcel_functions.py:652-657).
+
+    ``iterations``: 30 is bit-identical to 200 in fp64 on a harsh
+    (500-1050 hPa surface, 230-320 K) grid — the fixed point converges by
+    ~25; 20 is within 3e-12 and 12 within 7e-7 (convergence measured in
+    the round-5 notes).  Every extra iteration is pure sequential O(B)
+    latency in the fused solve's pre-pass.
     """
     p0 = jnp.asarray(parcel_pressure)
     t0 = jnp.asarray(parcel_temperature)
