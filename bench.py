@@ -234,8 +234,42 @@ def main():
             opt_spent[0] += time.perf_counter() - t0
         return sec
 
+    def arm_pipe_modular():
+        @jax.jit
+        def pipe_mod(dat):
+            return pipeline.conv_properties(dat, tables=tables)
+
+        sec = time_fn(pipe_mod, dat)
+        log(f'pipeline (modular xla): {sec:.3f}s/iter '
+            f'({B_pipe / sec:.3g} cols/sec)')
+        return sec
+
+    def arm_pipe_min_fused():
+        # The reduced deployment pipeline (one fused solve + scalar
+        # diagnostics — reference min_conv_properties :1872-1949).
+        @jax.jit
+        def pipe_min(dat):
+            return pipeline.min_conv_properties_fused(dat, tables=tables)
+
+        sec = time_fn(pipe_min, dat)
+        log(f'pipeline (min, fused): {sec:.3f}s/iter '
+            f'({B_pipe / sec:.3g} cols/sec)')
+        return sec
+
+    # Pipeline-dataset arms run while `dat` is resident; it is then freed
+    # so the 2^21-column cape arms get the HBM headroom they need.
+    sec_mod = optional_arm('pipeline modular', arm_pipe_modular)
+    sec_min = optional_arm('pipeline min fused', arm_pipe_min_fused)
+    del dat
+
     # --- surface-based CAPE/CIN only (the north-star metric) ---
-    B_cape = 1 << 20
+    # 2^21 columns: whole-batch compiles fine and the tunnel's dispatch
+    # floor thins to ~18% of the iteration (benchmarks/megabatch_ab.py:
+    # fused 1.65e7 at 2^21 vs 1.36e7 at 2^20; XLA clears 1e7).  2^22
+    # reproducibly crashes the remote compile helper (HTTP 500 x3), and
+    # lax.map chunking loses ~9-18 ms/chunk (benchmarks/chunked_ab.py),
+    # so 2^21 whole-batch is the ceiling on this chip.
+    B_cape = 1 << 21
     p, t, td = (jnp.asarray(v) for v in
                 __import__('__graft_entry__')._synthetic_columns((B_cape,)))
 
@@ -257,16 +291,6 @@ def main():
 
         sec = time_fn(sb_xla, p, t, td)
         log(f'cape (xla): {sec:.3f}s/iter ({B_cape / sec:.3g} cols/sec)')
-        return sec
-
-    def arm_pipe_modular():
-        @jax.jit
-        def pipe_mod(dat):
-            return pipeline.conv_properties(dat, tables=tables)
-
-        sec = time_fn(pipe_mod, dat)
-        log(f'pipeline (modular xla): {sec:.3f}s/iter '
-            f'({B_pipe / sec:.3g} cols/sec)')
         return sec
 
     def arm_cape_columns():
@@ -312,21 +336,7 @@ def main():
             f'({B_cape / sec:.3g} cols/sec)')
         return sec
 
-    def arm_pipe_min_fused():
-        # The reduced deployment pipeline (one fused solve + scalar
-        # diagnostics — reference min_conv_properties :1872-1949).
-        @jax.jit
-        def pipe_min(dat):
-            return pipeline.min_conv_properties_fused(dat, tables=tables)
-
-        sec = time_fn(pipe_min, dat)
-        log(f'pipeline (min, fused): {sec:.3f}s/iter '
-            f'({B_pipe / sec:.3g} cols/sec)')
-        return sec
-
     sec_xla = optional_arm('cape xla', arm_cape_xla)
-    sec_mod = optional_arm('pipeline modular', arm_pipe_modular)
-    sec_min = optional_arm('pipeline min fused', arm_pipe_min_fused)
     sec_alt = optional_arm('cape columns layout', arm_cape_columns)
     sec_sharded = optional_arm('cape sharded', arm_cape_sharded)
 
