@@ -92,6 +92,36 @@ def test_chunked_mixed_batch_dims_raises():
         chunked(_toy)(dat)
 
 
+def test_chunked_composes_with_mesh_sharding():
+    """The documented composition (chunked.py module docstring): wrap the
+    *sharded* program, so each device scans over its own shard's chunks —
+    chunk sizing then applies per shard, and results still match the
+    unsharded whole-batch run exactly."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from xarray_parcel_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(jax.devices()[:8])
+    B = 48                                  # 6 columns per device
+    dat = _toy_dat(B, seed=7)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=({k: P('data') for k in dat},),
+        out_specs={'s': P('data'), 'flag': P('data'), 'count': P('data')})
+    def sharded_chunked(d):
+        return chunked(_toy, chunk_columns=2)(d)   # 3 chunks per shard
+
+    got = sharded_chunked(shard_batch(dat, mesh))
+    want = _per_chunk_reference(_toy, dat, 2)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k],
+                                      err_msg=k)
+
+
 def test_chunked_pipeline_matches_whole(tables):
     """The production program under chunking: the fused pipeline, chunked
     vs per-chunk exact and vs whole-batch within fp64 tolerance."""
