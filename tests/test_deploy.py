@@ -1,0 +1,152 @@
+"""AOT export/serving artifacts (deploy.py): roundtrip, padding, cache.
+
+The reference has no serving analogue (each dask session re-builds its
+graph); these pin the beyond-reference deployment path: serialized
+pipelines reload and reproduce the direct call exactly, fixed-batch
+artifacts serve arbitrary grids, and the persistent compile cache fills.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xarray_parcel_tpu import adiabat, deploy, pipeline
+
+
+@pytest.fixture(scope='module')
+def tables():
+    return adiabat.load_moist_adiabat_lookups()
+
+
+def make_dat(B, L=24, seed=3):
+    rng = np.random.default_rng(seed)
+    p = np.linspace(1003.0, 180.0, L)
+    p = np.broadcast_to(p, (B, L)) + rng.normal(0, 0.3, (B, L))
+    p = -np.sort(-p, axis=-1)
+    t = 300.0 - 70.0 * (1.0 - (p / 1003.0) ** 0.3) + rng.normal(0, 2, (B, L))
+    td = t - (np.abs(rng.normal(2, 2, (B, L))) + 0.3 +
+              12.0 * (1.0 - p / 1003.0) ** 2)
+    e = 6.112 * np.exp(17.67 * (td - 273.15) / (td - 29.65))
+    w = 0.6219569100577033 * e / (p - e)
+    q = w / (1.0 + w)
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    return {k: jnp.asarray(v) for k, v in {
+        'pressure': p, 'temperature': t, 'specific_humidity': q,
+        'height_asl': h,
+        'surface_wind_u': rng.normal(3, 2, (B,)),
+        'surface_wind_v': rng.normal(0, 2, (B,)),
+        'wind_u': rng.normal(8, 5, (B, L)),
+        'wind_v': rng.normal(2, 5, (B, L)),
+        'wind_height_above_surface': h - h[..., :1],
+    }.items()}
+
+
+def assert_tree_equal(got, ref):
+    assert set(got) == set(ref)
+    for k in sorted(ref):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                          err_msg=k)
+            # The exported artifact runs as ONE compiled program; the
+            # direct reference call executes eagerly — fp64 schedules
+            # differ at the last-ulp scale (observed ~7e-12 rel).
+            np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                       rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+DTYPE = jnp.float64  # the test suite pins x64; match the fixture arrays
+
+
+def test_export_save_load_roundtrip(tables, tmp_path):
+    dat = make_dat(16)
+    path = tmp_path / 'min_pipe.xpz'
+    deployed = deploy.export_pipeline('min_conv_properties', batch=16,
+                                      levels=24, dtype=DTYPE, tables=tables,
+                                      path=path)
+    assert path.exists()
+    loaded = deploy.load(path)
+    assert loaded.meta['pipeline'] == 'min_conv_properties'
+    assert loaded.meta['batch'] == 16
+    assert loaded.meta['levels'] == 24
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    assert_tree_equal(deployed(dat, tables=tables), ref)
+    assert_tree_equal(loaded(dat, tables=tables), ref)
+
+
+def test_fixed_batch_serves_any_grid(tables, tmp_path):
+    # 21 columns (pad within one chunk) and 37 (two chunks + pad) through
+    # a batch-16 artifact must equal the direct whole-batch call.
+    path = tmp_path / 'min_pipe.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=16, levels=24,
+                           dtype=DTYPE, tables=tables, path=path)
+    loaded = deploy.load(path)
+    for B in (21, 37):
+        dat = make_dat(B, seed=B)
+        ref = pipeline.min_conv_properties(dat, tables=tables)
+        got = loaded(dat, tables=tables)
+        assert all(np.asarray(v).shape[0] == B for v in got.values())
+        assert_tree_equal(got, ref)
+
+
+def test_polymorphic_batch(tables):
+    deployed = deploy.export_pipeline('min_conv_properties', batch=None,
+                                      levels=24, dtype=DTYPE, tables=tables,
+                                      polymorphic=True)
+    assert deployed.meta['batch'] is None
+    for B in (8, 13):
+        dat = make_dat(B, seed=B)
+        assert_tree_equal(deployed(dat, tables=tables),
+                          pipeline.min_conv_properties(dat, tables=tables))
+
+
+def test_fused_pipeline_exports(tables, tmp_path):
+    # Off-TPU the fused kernel exports its interpret-mode XLA expansion —
+    # the artifact must still reproduce the direct call bit-for-bit.
+    path = tmp_path / 'fused.xpz'
+    deploy.export_pipeline('min_conv_properties_fused', batch=8, levels=24,
+                           dtype=DTYPE, tables=tables, path=path)
+    loaded = deploy.load(path)
+    dat = make_dat(8, seed=5)
+    assert_tree_equal(loaded(dat, tables=tables),
+                      pipeline.min_conv_properties_fused(dat, tables=tables))
+
+
+def test_polymorphic_fused_raises(tables):
+    with pytest.raises(ValueError, match='polymorphic batch is XLA-only'):
+        deploy.export_pipeline('conv_properties_fused', batch=None,
+                               polymorphic=True, tables=tables)
+
+
+def test_load_rejects_foreign_zip(tmp_path):
+    import zipfile
+    path = tmp_path / 'other.zip'
+    with zipfile.ZipFile(path, 'w') as z:
+        z.writestr('meta.json', '{"format": "something-else"}')
+        z.writestr('exported.stablehlo', b'')
+    with pytest.raises(ValueError, match='not a'):
+        deploy.load(path)
+
+
+def test_exported_kwargs_are_closed_over(tables):
+    dat = make_dat(8, seed=7)
+    dat['temperature'] = dat['temperature'].at[0, 3].set(jnp.nan)
+    deployed = deploy.export_pipeline('conv_properties', batch=8, levels=24,
+                                      dtype=DTYPE, tables=tables,
+                                      ignore_nans=True)
+    ref = pipeline.conv_properties(dat, tables=tables, ignore_nans=True)
+    assert_tree_equal(deployed(dat, tables=tables), ref)
+
+
+def test_compilation_cache_fills(tmp_path):
+    cache = tmp_path / 'xla_cache'
+    deploy.enable_compilation_cache(cache)
+    try:
+        jax.jit(lambda x: x * 2.0 + 3.0)(jnp.arange(7.0)).block_until_ready()
+        assert any(cache.iterdir()), 'persistent cache stayed empty'
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)

@@ -1,0 +1,221 @@
+"""AOT deployment: export a compiled pipeline once, serve it anywhere.
+
+The reference has no serving story — every session re-builds and
+re-schedules its lazy dask graph before any data moves (reference:
+modules/parcel_functions.py:561-579 re-chunks per call; the demo notebook
+re-runs the full pipeline per session).  The TPU equivalent of that cost
+is concrete: every distinct XLA program pays Python tracing + lowering +
+backend compilation before its first batch (tens of seconds on a
+remote-attached chip).  This module removes all three from the serving
+process:
+
+- :func:`export_pipeline` AOT-traces and lowers a pipeline to a
+  serialized StableHLO artifact (zip of the ``jax.export`` blob + JSON
+  metadata).  The adiabat tables stay *arguments* rather than baked-in
+  constants, so the artifact is ~100 kB instead of ~200 MB and one
+  artifact serves any table build.
+- :func:`load` returns a :class:`Deployed` callable.  Fixed-batch
+  artifacts serve ANY grid size: inputs pad up to the exported batch
+  (NaN for floats — the pipelines' NaN contract turns padded rows into
+  NaN outputs), run chunk-by-chunk, and slice back (same contract as
+  ``parallel.chunked``).  ``polymorphic=True`` artifacts embed a symbolic
+  batch dimension instead and run any size directly (XLA pipelines only —
+  the Pallas grid needs a concrete batch).
+- :func:`enable_compilation_cache` turns on JAX's persistent compile
+  cache, so even the backend-compile step is paid once per machine
+  rather than once per process.
+
+Export on the platform family you serve on (the artifact records its
+lowering platforms): the fused pipelines lower to the Mosaic TPU kernel
+when exported from a TPU-attached process and to the interpret-mode XLA
+expansion elsewhere.  Pass ``platforms=('cpu', 'tpu')`` for a
+multi-platform XLA artifact.
+"""
+
+import json
+import zipfile
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import adiabat, pipeline
+
+_FORMAT = 'xarray-parcel-tpu-exported-v1'
+
+#: Exportable named pipelines (dict-in / dict-out, ``tables=`` kwarg).
+PIPELINES = {
+    'conv_properties': pipeline.conv_properties,
+    'conv_properties_fused': pipeline.conv_properties_fused,
+    'min_conv_properties': pipeline.min_conv_properties,
+    'min_conv_properties_fused': pipeline.min_conv_properties_fused,
+}
+
+
+def input_spec(batch, levels=90, wind_levels=None, dtype=jnp.float32):
+    """ShapeDtypeStruct dict for the pipelines' input contract
+    (reference variable names, modules/parcel_functions.py:1951-2100).
+
+    ``batch`` may be an int or a symbolic dimension from
+    ``jax.export.symbolic_shape``.
+    """
+    lw = levels if wind_levels is None else wind_levels
+    s = lambda *shape: jax.ShapeDtypeStruct(shape, dtype)
+    return {
+        'pressure': s(batch, levels),
+        'temperature': s(batch, levels),
+        'specific_humidity': s(batch, levels),
+        'height_asl': s(batch, levels),
+        'surface_wind_u': s(batch),
+        'surface_wind_v': s(batch),
+        'wind_u': s(batch, lw),
+        'wind_v': s(batch, lw),
+        'wind_height_above_surface': s(batch, lw),
+    }
+
+
+def _table_arrays(tables):
+    return (jnp.asarray(tables.curves), jnp.asarray(tables.lookup),
+            jnp.asarray(tables.coeffs))
+
+
+def export_pipeline(name, batch, levels=90, wind_levels=None,
+                    dtype=jnp.float32, tables=None, polymorphic=False,
+                    platforms=None, path=None, **kwargs):
+    """AOT-export a named pipeline (or any dict->dict callable taking a
+    ``tables=`` kwarg) at a static input shape; returns a :class:`Deployed`.
+
+    ``batch`` is the exported static batch size; a fixed-batch artifact
+    still serves any grid (see :class:`Deployed`).  ``polymorphic=True``
+    exports a symbolic batch dimension instead — supported by the XLA
+    pipelines only.  ``kwargs`` are closed over (they become part of the
+    compiled program, e.g. ``ignore_nans=True``).  ``tables`` defaults to
+    the cached table build; only their shapes/dtypes enter the artifact.
+    """
+    fn = PIPELINES[name] if isinstance(name, str) else name
+    fn_name = name if isinstance(name, str) else getattr(
+        name, '__name__', 'custom')
+    if polymorphic and fn_name.endswith('_fused'):
+        raise ValueError(
+            'polymorphic batch is XLA-only: the fused pipelines fix the '
+            'Pallas grid at trace time — export a fixed batch instead '
+            '(Deployed pads/chunks any grid onto it)')
+    if tables is None:
+        tables = adiabat.default_tables()
+
+    def wrapper(dat, table_arrays):
+        tab = adiabat.AdiabatTables(*table_arrays)
+        return dict(fn(dat, tables=tab, **kwargs))
+
+    if polymorphic:
+        batch_dim, = jax.export.symbolic_shape('b')
+    else:
+        batch_dim = int(batch)
+    dat_spec = input_spec(batch_dim, levels=levels, wind_levels=wind_levels,
+                          dtype=dtype)
+    tab_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        _table_arrays(tables))
+
+    exp = jax.export.export(
+        jax.jit(wrapper),
+        platforms=list(platforms) if platforms else None,
+    )(dat_spec, tab_spec)
+
+    meta = {
+        'format': _FORMAT,
+        'pipeline': fn_name,
+        'batch': None if polymorphic else int(batch),
+        'polymorphic': bool(polymorphic),
+        'levels': int(levels),
+        'wind_levels': int(levels if wind_levels is None else wind_levels),
+        'dtype': np.dtype(dtype).name,
+        'platforms': list(exp.platforms),
+        'kwargs': {k: repr(v) for k, v in kwargs.items()},
+        'jax_version': jax.__version__,
+    }
+    deployed = Deployed(exp, meta)
+    if path is not None:
+        deployed.save(path)
+    return deployed
+
+
+class Deployed:
+    """A loaded/exported pipeline artifact: ``deployed(dat)`` runs it.
+
+    Fixed-batch artifacts accept any leading batch size: inputs pad up to
+    a multiple of the exported batch (NaN for floats, zero otherwise) and
+    run chunk-by-chunk; padded rows are sliced off the outputs.
+    """
+
+    def __init__(self, exported, meta):
+        self.exported = exported
+        self.meta = dict(meta)
+
+    def save(self, path):
+        """Write the artifact (zip of StableHLO blob + JSON metadata)."""
+        with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as z:
+            z.writestr('meta.json', json.dumps(self.meta, indent=1))
+            z.writestr('exported.stablehlo', self.exported.serialize())
+        return path
+
+    def __call__(self, dat, tables=None):
+        if tables is None:
+            tables = adiabat.default_tables()
+        tab = _table_arrays(tables)
+        dat = {k: jnp.asarray(v) for k, v in dat.items()}
+
+        bex = self.meta.get('batch')
+        if bex is None:                       # polymorphic artifact
+            return self.exported.call(dat, tab)
+
+        sizes = {v.shape[0] for v in dat.values()}
+        if len(sizes) != 1:
+            raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
+        b = sizes.pop()
+
+        pad = (-b) % bex
+        if pad:
+            def padded(x):
+                value = (jnp.nan if jnp.issubdtype(x.dtype, jnp.floating)
+                         else jnp.zeros((), x.dtype))
+                return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                               constant_values=value)
+            dat = {k: padded(v) for k, v in dat.items()}
+
+        chunks = []
+        for i in range((b + pad) // bex):
+            sl = {k: jax.lax.slice_in_dim(v, i * bex, (i + 1) * bex)
+                  for k, v in dat.items()}
+            chunks.append(self.exported.call(sl, tab))
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0],
+            *chunks)
+        if pad:
+            out = jax.tree_util.tree_map(lambda y: y[:b], out)
+        return out
+
+
+def load(path):
+    """Load a :class:`Deployed` artifact written by :meth:`Deployed.save`."""
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read('meta.json'))
+        if meta.get('format') != _FORMAT:
+            raise ValueError(f'not a {_FORMAT} artifact: {path}')
+        exported = jax.export.deserialize(z.read('exported.stablehlo'))
+    return Deployed(exported, meta)
+
+
+def enable_compilation_cache(directory, min_compile_time_secs=0.0):
+    """Turn on JAX's persistent compilation cache at ``directory``.
+
+    Compiled executables for identical programs are reused across
+    processes — a serving fleet pays each pipeline's backend compile once
+    per cache, not once per process.  Call before the first jit execution.
+    """
+    jax.config.update('jax_compilation_cache_dir', str(directory))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      float(min_compile_time_secs))
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    return str(directory)
