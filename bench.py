@@ -13,6 +13,7 @@ Runs fp32 on the default backend (the real TPU chip under the driver).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -170,7 +171,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from xarray_parcel_tpu import adiabat, cape, fused, pipeline
+    from xarray_parcel_tpu import adiabat, cape, deploy, fused, pipeline
+
+    # Persistent compile cache: the seven bench programs cost 25-110 s of
+    # remote compilation EACH over the tunnel on every run; a warm cache
+    # skips the remote compile entirely (150 s -> 0.35 s measured,
+    # benchmarks/results/deploy_tpu_smoke.json).  Steady-state rates are
+    # unaffected — compiles are never inside a timed window.
+    deploy.enable_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     'benchmarks', '.xla_cache'),
+        min_compile_time_secs=2.0)
 
     log(f'backend={jax.default_backend()} devices={jax.devices()}')
 

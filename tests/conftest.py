@@ -21,3 +21,13 @@ import jax
 # backend through the config API as well.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# Persistent compilation cache: the expensive whole-pipeline CPU compiles
+# repeat identically across suite runs — cache them (gitignored dir).
+# Entries under 2 s stay uncached to keep lookup/write overhead below the
+# win (validated by benchmarks/deploy_tpu_smoke.py; see deploy.py).
+from xarray_parcel_tpu import deploy
+
+deploy.enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.xla_cache'),
+    min_compile_time_secs=2.0)
