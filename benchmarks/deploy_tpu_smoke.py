@@ -51,9 +51,15 @@ def run_child(cache_dir):
         [sys.executable, '-c', CHILD, cache_dir],
         capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    last = out.stdout.strip().splitlines()[-1]
-    rec = json.loads(last)
-    rec['ok'] = out.returncode == 0
+    if out.returncode != 0:
+        return {'ok': False, 'stderr_tail': out.stderr[-800:]}
+    lines = out.stdout.strip().splitlines()
+    try:
+        rec = json.loads(lines[-1])
+    except (IndexError, ValueError):
+        return {'ok': False, 'stderr_tail': out.stderr[-800:],
+                'stdout_tail': out.stdout[-200:]}
+    rec['ok'] = True
     return rec
 
 
@@ -72,13 +78,20 @@ def main():
         res['cache_warm'] = run_child(d)
         print(res['cache_warm'], file=sys.stderr)
         res['cache_entries'] = res['cache_warm'].get('cache_entries_after', 0)
-        # Remote-compile wall time varies 13-150 s run to run (tunnel),
-        # so the verdict keys on cache-dir writes; a warm run faster than
-        # every observed compile (<5 s) confirms the read path too.
+        # Remote-compile wall time varies 13-150 s run to run (tunnel; the
+        # no-cache arm of one recorded run compiled in 2.96 s), so the
+        # verdict keys on cache-dir writes plus a warm run faster than ANY
+        # plausible remote compile: under 1 s, and under half the fastest
+        # compile observed in this very run.
         res['cache_writes'] = res['cache_entries'] > 0
+        fastest_compile = min(
+            res[a]['compile_and_run_s'] for a in ('no_cache', 'cache_cold')
+            if res[a].get('ok'))
         res['cache_hit_confirmed'] = (
             res['cache_writes'] and
-            res['cache_warm']['compile_and_run_s'] < 5.0)
+            res['cache_warm'].get('ok', False) and
+            res['cache_warm']['compile_and_run_s']
+            < min(1.0, 0.5 * fastest_compile))
 
     # --- 1: fused-pipeline export roundtrip on the TPU ---
     import numpy as np

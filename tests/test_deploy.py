@@ -62,12 +62,20 @@ def assert_tree_equal(got, ref):
 DTYPE = jnp.float64  # the test suite pins x64; match the fixture arrays
 
 
-def test_export_save_load_roundtrip(tables, tmp_path):
-    dat = make_dat(16)
-    path = tmp_path / 'min_pipe.xpz'
+@pytest.fixture(scope='module')
+def artifact16(tables, tmp_path_factory):
+    """One batch-16 min_conv_properties export shared by several tests
+    (exports cost a whole-pipeline trace+compile each)."""
+    path = tmp_path_factory.mktemp('deploy') / 'min_pipe.xpz'
     deployed = deploy.export_pipeline('min_conv_properties', batch=16,
                                       levels=24, dtype=DTYPE, tables=tables,
                                       path=path)
+    return path, deployed
+
+
+def test_export_save_load_roundtrip(tables, artifact16):
+    path, deployed = artifact16
+    dat = make_dat(16)
     assert path.exists()
     loaded = deploy.load(path)
     assert loaded.meta['pipeline'] == 'min_conv_properties'
@@ -78,19 +86,30 @@ def test_export_save_load_roundtrip(tables, tmp_path):
     assert_tree_equal(loaded(dat, tables=tables), ref)
 
 
-def test_fixed_batch_serves_any_grid(tables, tmp_path):
+def test_fixed_batch_serves_any_grid(tables, artifact16):
     # 21 columns (pad within one chunk) and 37 (two chunks + pad) through
     # a batch-16 artifact must equal the direct whole-batch call.
-    path = tmp_path / 'min_pipe.xpz'
-    deploy.export_pipeline('min_conv_properties', batch=16, levels=24,
-                           dtype=DTYPE, tables=tables, path=path)
-    loaded = deploy.load(path)
+    loaded = deploy.load(artifact16[0])
     for B in (21, 37):
         dat = make_dat(B, seed=B)
         ref = pipeline.min_conv_properties(dat, tables=tables)
         got = loaded(dat, tables=tables)
         assert all(np.asarray(v).shape[0] == B for v in got.values())
         assert_tree_equal(got, ref)
+
+
+def test_fixed_batch_edge_errors(tables, artifact16):
+    _, deployed = artifact16
+    empty = {k: np.asarray(v)[:0] for k, v in make_dat(4).items()}
+    with pytest.raises(ValueError, match='empty batch'):
+        deployed(empty, tables=tables)
+    mixed = make_dat(8)
+    mixed['surface_wind_u'] = mixed['surface_wind_u'][:4]
+    with pytest.raises(ValueError, match='mixed leading batch'):
+        deployed(mixed, tables=tables)
+    with pytest.raises(ValueError, match='polymorphic=True'):
+        deploy.export_pipeline('min_conv_properties', batch=None,
+                               tables=tables)
 
 
 def test_polymorphic_batch(tables):
@@ -143,10 +162,19 @@ def test_exported_kwargs_are_closed_over(tables):
 
 
 def test_compilation_cache_fills(tmp_path):
+    # conftest.py enables the suite-wide cache — restore BOTH settings
+    # afterwards so the rest of the suite keeps its persistent cache.
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     cache = tmp_path / 'xla_cache'
     deploy.enable_compilation_cache(cache)
     try:
         jax.jit(lambda x: x * 2.0 + 3.0)(jnp.arange(7.0)).block_until_ready()
         assert any(cache.iterdir()), 'persistent cache stayed empty'
     finally:
-        jax.config.update('jax_compilation_cache_dir', None)
+        if prev_dir is not None:
+            deploy.enable_compilation_cache(prev_dir, prev_min)
+        else:
+            jax.config.update('jax_compilation_cache_dir', None)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              prev_min)

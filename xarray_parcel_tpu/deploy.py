@@ -110,12 +110,17 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
 
     if polymorphic:
         batch_dim, = jax.export.symbolic_shape('b')
+    elif batch is None:
+        raise ValueError('batch=None needs polymorphic=True (or pass the '
+                         'static batch size to export)')
     else:
         batch_dim = int(batch)
     dat_spec = input_spec(batch_dim, levels=levels, wind_levels=wind_levels,
                           dtype=dtype)
+    # shape/dtype only — never np.asarray a (possibly device-resident,
+    # ~200 MB) table just to read its metadata.
     tab_spec = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         _table_arrays(tables))
 
     exp = jax.export.export(
@@ -164,37 +169,41 @@ class Deployed:
         if tables is None:
             tables = adiabat.default_tables()
         tab = _table_arrays(tables)
-        dat = {k: jnp.asarray(v) for k, v in dat.items()}
 
         bex = self.meta.get('batch')
         if bex is None:                       # polymorphic artifact
-            return self.exported.call(dat, tab)
+            return self.exported.call(
+                {k: jnp.asarray(v) for k, v in dat.items()}, tab)
 
-        sizes = {v.shape[0] for v in dat.values()}
+        sizes = {np.shape(v)[0] for v in dat.values()}
         if len(sizes) != 1:
             raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
         b = sizes.pop()
+        if b == bex:                          # exact fit: no copies at all
+            return self.exported.call(dat, tab)
+        if b == 0:
+            raise ValueError('empty batch (leading dim 0) — nothing to '
+                             'serve through a fixed-batch artifact')
 
+        # Mismatched batch: pad/slice on the HOST (numpy views are free
+        # and the exported call stages each chunk to the device anyway —
+        # eager device pad/slice programs would each cost a compile).
+        # Device-resident inputs take one transfer here; outputs come
+        # back as host arrays.
+        from .parallel.chunked import pad_fill
+        dat = {k: np.asarray(v) for k, v in dat.items()}
         pad = (-b) % bex
         if pad:
-            def padded(x):
-                value = (jnp.nan if jnp.issubdtype(x.dtype, jnp.floating)
-                         else jnp.zeros((), x.dtype))
-                return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                               constant_values=value)
-            dat = {k: padded(v) for k, v in dat.items()}
-
+            dat = {k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1),
+                             constant_values=pad_fill(v.dtype))
+                   for k, v in dat.items()}
         chunks = []
         for i in range((b + pad) // bex):
-            sl = {k: jax.lax.slice_in_dim(v, i * bex, (i + 1) * bex)
-                  for k, v in dat.items()}
-            chunks.append(self.exported.call(sl, tab))
-        out = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0],
-            *chunks)
-        if pad:
-            out = jax.tree_util.tree_map(lambda y: y[:b], out)
-        return out
+            sl = {k: v[i * bex:(i + 1) * bex] for k, v in dat.items()}
+            chunks.append(jax.tree_util.tree_map(
+                np.asarray, self.exported.call(sl, tab)))
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0)[:b], *chunks)
 
 
 def load(path):
@@ -218,4 +227,8 @@ def enable_compilation_cache(directory, min_compile_time_secs=0.0):
     jax.config.update('jax_persistent_cache_min_compile_time_secs',
                       float(min_compile_time_secs))
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    # The cache backend is a lazily-created singleton bound to the dir it
+    # first saw — drop it so re-pointing mid-process actually re-points.
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+    _cc.reset_cache()
     return str(directory)

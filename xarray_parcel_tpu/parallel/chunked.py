@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 
 
+def pad_fill(dtype):
+    """The batch-padding value contract, shared with ``deploy.Deployed``:
+    NaN for floats (the pipelines' NaN semantics turn padded rows into
+    NaN outputs), zero for ints/bools.  Padded rows are sliced off."""
+    dtype = np.dtype(dtype)
+    return np.nan if np.issubdtype(dtype, np.floating) else np.zeros((), dtype)
+
+
 def chunked(fn, chunk_columns=1 << 18):
     """Wrap a dict->pytree column program so it executes in fixed-size
     column chunks under ``lax.map`` — one compiled program, chunk-bounded
@@ -57,10 +65,8 @@ def chunked(fn, chunk_columns=1 << 18):
         def stack(x):
             x = jnp.asarray(x)
             if pad:
-                value = (jnp.nan if jnp.issubdtype(x.dtype, jnp.floating)
-                         else jnp.zeros((), x.dtype))
                 x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                            constant_values=value)
+                            constant_values=pad_fill(x.dtype))
             return x.reshape((n, C) + x.shape[1:])
 
         out = jax.lax.map(fn, jax.tree_util.tree_map(stack, dat))
