@@ -135,6 +135,37 @@ def test_fused_pipeline_exports(tables, tmp_path):
                       pipeline.min_conv_properties_fused(dat, tables=tables))
 
 
+def test_sharded_export(tables, tmp_path):
+    # SPMD artifact: batch sharded over the suite's 8 virtual devices,
+    # tables replicated.  Must reload and serve both an exact-fit batch
+    # (stays sharded end to end) and a non-divisible grid (pad + chunk,
+    # each chunk sharded) with results equal to the unsharded direct call.
+    from xarray_parcel_tpu import parallel
+    mesh = parallel.make_mesh()
+    path = tmp_path / 'sharded.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=16, levels=24,
+                           dtype=DTYPE, tables=tables, mesh=mesh, path=path)
+    loaded = deploy.load(path)
+    assert loaded.meta['mesh'] == {'axis_names': ['data'], 'shape': [8]}
+
+    dat = make_dat(16, seed=21)
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    got = loaded(dat, tables=tables, mesh=mesh)
+    assert len(got['mixed_100_cape'].sharding.device_set) == 8
+    assert_tree_equal(got, ref)
+    # Default mesh resolution (mesh=None) and the pad/chunk path.
+    dat23 = make_dat(23, seed=22)
+    assert_tree_equal(loaded(dat23, tables=tables),
+                      pipeline.min_conv_properties(dat23, tables=tables))
+
+    with pytest.raises(ValueError, match='divide evenly'):
+        deploy.export_pipeline('min_conv_properties', batch=15, levels=24,
+                               dtype=DTYPE, tables=tables, mesh=mesh)
+    with pytest.raises(ValueError, match='do not compose'):
+        deploy.export_pipeline('min_conv_properties', batch=None,
+                               polymorphic=True, tables=tables, mesh=mesh)
+
+
 def test_polymorphic_fused_raises(tables):
     with pytest.raises(ValueError, match='polymorphic batch is XLA-only'):
         deploy.export_pipeline('conv_properties_fused', batch=None,

@@ -82,16 +82,20 @@ def _table_arrays(tables):
 
 def export_pipeline(name, batch, levels=90, wind_levels=None,
                     dtype=jnp.float32, tables=None, polymorphic=False,
-                    platforms=None, path=None, **kwargs):
+                    platforms=None, mesh=None, path=None, **kwargs):
     """AOT-export a named pipeline (or any dict->dict callable taking a
     ``tables=`` kwarg) at a static input shape; returns a :class:`Deployed`.
 
     ``batch`` is the exported static batch size; a fixed-batch artifact
     still serves any grid (see :class:`Deployed`).  ``polymorphic=True``
     exports a symbolic batch dimension instead — supported by the XLA
-    pipelines only.  ``kwargs`` are closed over (they become part of the
-    compiled program, e.g. ``ignore_nans=True``).  ``tables`` defaults to
-    the cached table build; only their shapes/dtypes enter the artifact.
+    pipelines only.  ``mesh`` exports the SPMD program instead: the batch
+    dim sharded over the mesh (``parallel.batch_spec`` layout), tables
+    replicated — one artifact drives a whole slice; serving needs a mesh
+    of the same device count (see :meth:`Deployed.__call__`).  ``kwargs``
+    are closed over (they become part of the compiled program, e.g.
+    ``ignore_nans=True``).  ``tables`` defaults to the cached table
+    build; only their shapes/dtypes enter the artifact.
     """
     fn = PIPELINES[name] if isinstance(name, str) else name
     fn_name = name if isinstance(name, str) else getattr(
@@ -101,6 +105,9 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
             'polymorphic batch is XLA-only: the fused pipelines fix the '
             'Pallas grid at trace time — export a fixed batch instead '
             '(Deployed pads/chunks any grid onto it)')
+    if polymorphic and mesh is not None:
+        raise ValueError('polymorphic batch and mesh sharding do not '
+                         'compose — export a fixed sharded batch')
     if tables is None:
         tables = adiabat.default_tables()
 
@@ -115,6 +122,10 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                          'static batch size to export)')
     else:
         batch_dim = int(batch)
+    if mesh is not None and int(batch) % mesh.devices.size:
+        raise ValueError(f'batch {batch} must divide evenly over the '
+                         f'{mesh.devices.size}-device mesh (Deployed '
+                         'pads any real grid onto it)')
     dat_spec = input_spec(batch_dim, levels=levels, wind_levels=wind_levels,
                           dtype=dtype)
     # shape/dtype only — never np.asarray a (possibly device-resident,
@@ -122,6 +133,17 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     tab_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         _table_arrays(tables))
+    if mesh is not None:
+        from .parallel import batch_spec, replicated
+        from jax.sharding import NamedSharding
+        dat_spec = {k: jax.ShapeDtypeStruct(
+            s.shape, s.dtype,
+            sharding=NamedSharding(mesh, batch_spec(mesh, len(s.shape))))
+            for k, s in dat_spec.items()}
+        tab_spec = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                           sharding=replicated(mesh)),
+            tab_spec)
 
     exp = jax.export.export(
         jax.jit(wrapper),
@@ -137,6 +159,9 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         'wind_levels': int(levels if wind_levels is None else wind_levels),
         'dtype': np.dtype(dtype).name,
         'platforms': list(exp.platforms),
+        'mesh': None if mesh is None else {
+            'axis_names': list(mesh.axis_names),
+            'shape': [int(s) for s in mesh.devices.shape]},
         'kwargs': {k: repr(v) for k, v in kwargs.items()},
         'jax_version': jax.__version__,
     }
@@ -165,10 +190,32 @@ class Deployed:
             z.writestr('exported.stablehlo', self.exported.serialize())
         return path
 
-    def __call__(self, dat, tables=None):
+    def _mesh(self, mesh):
+        """Resolve the serving mesh for a sharded artifact (or None)."""
+        want = self.meta.get('mesh')
+        if want is None:
+            return None
+        from .parallel import make_mesh
+        if mesh is None:
+            mesh = make_mesh(axis_names=tuple(want['axis_names']),
+                             shape=tuple(want['shape']))
+        n = int(np.prod(want['shape']))
+        if mesh.devices.size != n:
+            raise ValueError(f'artifact was exported for {n} devices; '
+                             f'serving mesh has {mesh.devices.size}')
+        return mesh
+
+    def __call__(self, dat, tables=None, mesh=None):
         if tables is None:
             tables = adiabat.default_tables()
         tab = _table_arrays(tables)
+        mesh = self._mesh(mesh)
+        if mesh is not None:
+            from .parallel import replicated, shard_batch
+            tab = tuple(jax.device_put(t, replicated(mesh)) for t in tab)
+            place = lambda d: shard_batch(d, mesh)
+        else:
+            place = lambda d: d
 
         bex = self.meta.get('batch')
         if bex is None:                       # polymorphic artifact
@@ -180,7 +227,7 @@ class Deployed:
             raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
         b = sizes.pop()
         if b == bex:                          # exact fit: no copies at all
-            return self.exported.call(dat, tab)
+            return self.exported.call(place(dat), tab)
         if b == 0:
             raise ValueError('empty batch (leading dim 0) — nothing to '
                              'serve through a fixed-batch artifact')
@@ -201,7 +248,7 @@ class Deployed:
         for i in range((b + pad) // bex):
             sl = {k: v[i * bex:(i + 1) * bex] for k, v in dat.items()}
             chunks.append(jax.tree_util.tree_map(
-                np.asarray, self.exported.call(sl, tab)))
+                np.asarray, self.exported.call(place(sl), tab)))
         return jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0)[:b], *chunks)
 
