@@ -192,6 +192,18 @@ def test_exported_kwargs_are_closed_over(tables):
     assert_tree_equal(deployed(dat, tables=tables), ref)
 
 
+def test_with_proxies_pipeline_exports(tables):
+    dat = make_dat(8, seed=9)
+    deployed = deploy.export_pipeline('conv_properties_with_proxies',
+                                      batch=8, levels=24, dtype=DTYPE,
+                                      tables=tables)
+    ref = dict(pipeline.conv_properties(dat, tables=tables))
+    ref.update(pipeline.storm_proxies(ref))
+    got = deployed(dat, tables=tables)
+    assert 'ship' in got and 'proxy_Craven2004' in got
+    assert_tree_equal(got, ref)
+
+
 def test_compilation_cache_fills(tmp_path):
     # conftest.py enables the suite-wide cache — restore BOTH settings
     # afterwards so the rest of the suite keeps its persistent cache.

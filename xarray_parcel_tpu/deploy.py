@@ -44,12 +44,26 @@ from . import adiabat, pipeline
 
 _FORMAT = 'xarray-parcel-tpu-exported-v1'
 
+def _with_proxies(base):
+    def fn(dat, tables=None, **kwargs):
+        out = dict(base(dat, tables=tables, **kwargs))
+        out.update(pipeline.storm_proxies(out))
+        return out
+    fn.__name__ = base.__name__ + '_with_proxies'
+    return fn
+
+
 #: Exportable named pipelines (dict-in / dict-out, ``tables=`` kwarg).
+#: The ``_with_proxies`` forms append the 8 storm-proxy booleans + SHIP,
+#: the reference demo's full output set (parcel_functions.py:2323-2407).
 PIPELINES = {
     'conv_properties': pipeline.conv_properties,
     'conv_properties_fused': pipeline.conv_properties_fused,
     'min_conv_properties': pipeline.min_conv_properties,
     'min_conv_properties_fused': pipeline.min_conv_properties_fused,
+    'conv_properties_with_proxies': _with_proxies(pipeline.conv_properties),
+    'conv_properties_fused_with_proxies':
+        _with_proxies(pipeline.conv_properties_fused),
 }
 
 
@@ -100,7 +114,7 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     fn = PIPELINES[name] if isinstance(name, str) else name
     fn_name = name if isinstance(name, str) else getattr(
         name, '__name__', 'custom')
-    if polymorphic and fn_name.endswith('_fused'):
+    if polymorphic and '_fused' in fn_name:
         raise ValueError(
             'polymorphic batch is XLA-only: the fused pipelines fix the '
             'Pallas grid at trace time — export a fixed batch instead '
