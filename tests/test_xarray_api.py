@@ -72,6 +72,33 @@ def test_min_conv_properties_dataset(dat):
     assert out.mixed_100_cape.dims == ('latitude', 'longitude')
 
 
+def test_serve_through_deployed_artifact(dat, tmp_path):
+    # Dataset in -> AOT artifact (batch 6; the 3x4 grid flattens to 12
+    # columns = pad + 2 chunks) -> attributed Dataset out, equal to the
+    # direct Dataset pipeline within the fp32 batch-shape wobble
+    # (docs/performance.md).
+    from xarray_parcel_tpu import deploy
+    import jax.numpy as jnp
+    path = tmp_path / 'min40.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=6, levels=40,
+                           dtype=jnp.float32, path=path)
+    ref = xarray_api.min_conv_properties(dat)
+    out = xarray_api.serve(dat, path)
+    assert isinstance(out, xr.Dataset)
+    assert set(out.data_vars) == set(ref.data_vars)
+    assert out.mixed_100_cape.dims == ('latitude', 'longitude')
+    assert 'units' in out.mixed_100_cape.attrs
+    for k in ref.data_vars:
+        a, b = np.asarray(out[k]), np.asarray(ref[k])
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        scale = max(1.0, float(np.nanmax(np.abs(b))) if np.isfinite(
+            b).any() else 1.0)
+        assert np.nanmax(np.abs(a - b)) <= 1e-4 * scale + 1e-3, k
+
+
 def test_min_conv_properties_fused_dataset(dat):
     ref = xarray_api.min_conv_properties(dat)
     out = xarray_api.min_conv_properties_fused(dat)

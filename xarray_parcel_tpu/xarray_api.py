@@ -358,6 +358,33 @@ min_conv_properties_fused = _dataset_pipeline(
     _pipeline.min_conv_properties_fused)
 
 
+def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
+    """Run a Dataset through an AOT serving artifact
+    (``deploy.export_pipeline`` / ``deploy.load``) — Dataset in, attributed
+    Dataset out, with zero retracing in the serving process.
+
+    ``artifact`` is a ``deploy.Deployed`` or a path to a saved one.  Any
+    grid shape works: batch dims flatten to the artifact's column axis
+    and the artifact pads/chunks onto its exported batch (sharding each
+    chunk when it was exported with ``mesh=``; pass ``mesh=`` here to
+    override the serving mesh).  The reference has no analogue — every
+    dask session re-builds its graph before the first chunk computes.
+    """
+    from . import deploy as _deploy
+    if not isinstance(artifact, _deploy.Deployed):
+        artifact = _deploy.load(artifact)
+    fields, batch_dims = from_dataset(dat, vert_dim=vert_dim)
+    nb = len(batch_dims)
+    batch_shape = next(iter(fields.values())).shape[:nb]
+    flat = {k: np.asarray(v).reshape((-1,) + v.shape[nb:])
+            for k, v in fields.items()}
+    out = artifact(flat, tables=_resolve_tables(tables), mesh=mesh)
+    out = {k: np.asarray(v).reshape(batch_shape + np.shape(v)[1:])
+           for k, v in out.items()}
+    coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
+    return to_dataset(out, batch_dims, coords=coords)
+
+
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
     """Storm proxies from a conv_properties Dataset
     (reference: modules/parcel_functions.py:2323-2407)."""
