@@ -136,6 +136,23 @@ def main():
     res['worst_rel_vs_direct'] = worst
     res['n_vars'] = len(ref)
 
+    # Odd-batch serving through the SAME loaded artifact (host pad +
+    # chunk): rows shared with the exact-fit call must be bitwise
+    # identical.  Timed serve-only (no re-export).
+    datodd = {k: np.concatenate([np.asarray(v),
+                                 np.asarray(v)[:1000]], axis=0)
+              for k, v in dat.items()}
+    t0 = time.time()
+    godd = loaded(datodd, tables=tables)
+    for k in ref:
+        a = np.asarray(godd[k])
+        assert a.shape[0] == B + 1000, k
+        same = a[:B] == got[k]
+        if a.dtype != bool:
+            same |= np.isnan(a[:B]) & np.isnan(got[k])
+        assert same.all(), f'odd-batch shared rows differ: {k}'
+    res['odd_batch_serve_s'] = time.time() - t0
+
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
     with open(RESULTS, 'w') as f:
         json.dump(res, f, indent=1)

@@ -110,6 +110,10 @@ def test_fixed_batch_edge_errors(tables, artifact16):
     with pytest.raises(ValueError, match='polymorphic=True'):
         deploy.export_pipeline('min_conv_properties', batch=None,
                                tables=tables)
+    # A mesh passed to an UNSHARDED artifact must raise, not be ignored.
+    from xarray_parcel_tpu import parallel
+    with pytest.raises(ValueError, match='not exported with mesh'):
+        deployed(make_dat(16), tables=tables, mesh=parallel.make_mesh())
 
 
 def test_polymorphic_batch(tables):
@@ -164,6 +168,15 @@ def test_sharded_export(tables, tmp_path):
     with pytest.raises(ValueError, match='do not compose'):
         deploy.export_pipeline('min_conv_properties', batch=None,
                                polymorphic=True, tables=tables, mesh=mesh)
+    # Same device count but a different axis layout must be rejected —
+    # the exported shardings are positional over the first axis.
+    mesh42 = parallel.make_mesh(axis_names=('data', 'model'), shape=(4, 2))
+    with pytest.raises(ValueError, match='mesh of shape'):
+        loaded(dat, tables=tables, mesh=mesh42)
+    # A 2-axis mesh shards the batch over axis 0 only: batch 12 is legal
+    # on a (4, 2) mesh (12 % 4 == 0) even though 12 % 8 != 0.
+    deploy.export_pipeline('min_conv_properties', batch=12, levels=24,
+                           dtype=DTYPE, tables=tables, mesh=mesh42)
 
 
 def test_polymorphic_fused_raises(tables):

@@ -136,10 +136,11 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                          'static batch size to export)')
     else:
         batch_dim = int(batch)
-    if mesh is not None and int(batch) % mesh.devices.size:
+    # batch_spec shards the batch over the FIRST mesh axis only.
+    if mesh is not None and int(batch) % int(mesh.devices.shape[0]):
         raise ValueError(f'batch {batch} must divide evenly over the '
-                         f'{mesh.devices.size}-device mesh (Deployed '
-                         'pads any real grid onto it)')
+                         f'{int(mesh.devices.shape[0])}-way batch axis of '
+                         'the mesh (Deployed pads any real grid onto it)')
     dat_spec = input_spec(batch_dim, levels=levels, wind_levels=wind_levels,
                           dtype=dtype)
     # shape/dtype only — never np.asarray a (possibly device-resident,
@@ -208,27 +209,50 @@ class Deployed:
         """Resolve the serving mesh for a sharded artifact (or None)."""
         want = self.meta.get('mesh')
         if want is None:
+            if mesh is not None:
+                raise ValueError(
+                    'this artifact was not exported with mesh= — the '
+                    'passed serving mesh would be silently ignored; '
+                    're-export with export_pipeline(..., mesh=mesh) for '
+                    'SPMD serving')
             return None
-        from .parallel import make_mesh
+        shape = tuple(want['shape'])
         if mesh is None:
+            n = int(np.prod(shape))
+            avail = len(jax.devices())
+            if avail != n:
+                raise ValueError(f'artifact was exported for {n} devices; '
+                                 f'{avail} available — pass a matching '
+                                 'mesh= or re-export')
+            from .parallel import make_mesh
             mesh = make_mesh(axis_names=tuple(want['axis_names']),
-                             shape=tuple(want['shape']))
-        n = int(np.prod(want['shape']))
-        if mesh.devices.size != n:
-            raise ValueError(f'artifact was exported for {n} devices; '
-                             f'serving mesh has {mesh.devices.size}')
+                             shape=shape)
+        # The exported HloShardings are positional: the batch dim is laid
+        # out over the FIRST mesh axis, so the serving mesh must reproduce
+        # the exported axis shape, not just the device count.
+        if tuple(int(s) for s in mesh.devices.shape) != shape:
+            raise ValueError(f'artifact was exported on a mesh of shape '
+                             f'{shape}; serving mesh has shape '
+                             f'{tuple(mesh.devices.shape)}')
         return mesh
 
     def __call__(self, dat, tables=None, mesh=None):
         if tables is None:
             tables = adiabat.default_tables()
-        tab = _table_arrays(tables)
         mesh = self._mesh(mesh)
         if mesh is not None:
-            from .parallel import replicated, shard_batch
-            tab = tuple(jax.device_put(t, replicated(mesh)) for t in tab)
+            from .parallel import replicate, shard_batch
+            # replicate (not raw device_put): multi-process consistency
+            # checks NaN-bearing tables elementwise, and a plain
+            # jnp.asarray would double-place ~200 MB via the default
+            # device (parallel/mesh.py:_put_global).
+            tab = replicate(tuple(
+                t if hasattr(t, 'ndim') else np.asarray(t)
+                for t in (tables.curves, tables.lookup, tables.coeffs)),
+                mesh)
             place = lambda d: shard_batch(d, mesh)
         else:
+            tab = _table_arrays(tables)
             place = lambda d: d
 
         bex = self.meta.get('batch')

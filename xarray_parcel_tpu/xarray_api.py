@@ -376,8 +376,12 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     fields, batch_dims = from_dataset(dat, vert_dim=vert_dim)
     nb = len(batch_dims)
     batch_shape = next(iter(fields.values())).shape[:nb]
+    # from_dataset repacks to f32; match the artifact's exported dtype
+    # (a lossless upcast for f64 artifacts) instead of failing the
+    # export-layer signature check.
+    want = np.dtype(artifact.meta.get('dtype', 'float32'))
     flat = {k: np.asarray(v).reshape((-1,) + v.shape[nb:])
-            for k, v in fields.items()}
+            .astype(want, copy=False) for k, v in fields.items()}
     out = artifact(flat, tables=_resolve_tables(tables), mesh=mesh)
     out = {k: np.asarray(v).reshape(batch_shape + np.shape(v)[1:])
            for k, v in out.items()}
