@@ -6,6 +6,8 @@ pipelines reload and reproduce the direct call exactly, fixed-batch
 artifacts serve arbitrary grids, and the persistent compile cache fills.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -215,6 +217,35 @@ def test_with_proxies_pipeline_exports(tables):
     got = deployed(dat, tables=tables)
     assert 'ship' in got and 'proxy_Craven2004' in got
     assert_tree_equal(got, ref)
+
+
+def test_artifact_serves_in_a_fresh_process(tables, artifact16, tmp_path):
+    # The serving claim proper: a process that never traced the pipeline
+    # loads the artifact and reproduces this process's results.
+    import subprocess, sys
+    path, deployed = artifact16
+    dat = make_dat(16, seed=33)
+    ref = deployed(dat, tables=tables)
+    datfile = tmp_path / 'dat.npz'
+    outfile = tmp_path / 'out.npz'
+    np.savez(datfile, **{k: np.asarray(v) for k, v in dat.items()})
+    child = (
+        "import numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "from xarray_parcel_tpu import deploy\n"
+        f"dat = dict(np.load({str(datfile)!r}))\n"
+        f"out = deploy.load({str(path)!r})(dat)\n"   # default tables
+        f"np.savez({str(outfile)!r}, "
+        "**{k: np.asarray(v) for k, v in out.items()})\n")
+    proc = subprocess.run([sys.executable, '-c', child], timeout=540,
+                          capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = dict(np.load(outfile))
+    assert_tree_equal(got, {k: np.asarray(v) for k, v in ref.items()})
 
 
 def test_compilation_cache_fills(tmp_path):

@@ -94,6 +94,17 @@ def _table_arrays(tables):
             jnp.asarray(tables.coeffs))
 
 
+def _tables_or_load(tables):
+    """Default tables, auto-building/loading the cache in a fresh serving
+    process (the load-first guard stays for the library surfaces)."""
+    if tables is not None:
+        return tables
+    try:
+        return adiabat.default_tables()
+    except RuntimeError:
+        return adiabat.load_moist_adiabat_lookups()
+
+
 def export_pipeline(name, batch, levels=90, wind_levels=None,
                     dtype=jnp.float32, tables=None, polymorphic=False,
                     platforms=None, mesh=None, path=None, **kwargs):
@@ -122,8 +133,7 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     if polymorphic and mesh is not None:
         raise ValueError('polymorphic batch and mesh sharding do not '
                          'compose — export a fixed sharded batch')
-    if tables is None:
-        tables = adiabat.default_tables()
+    tables = _tables_or_load(tables)
 
     def wrapper(dat, table_arrays):
         tab = adiabat.AdiabatTables(*table_arrays)
@@ -197,6 +207,8 @@ class Deployed:
     def __init__(self, exported, meta):
         self.exported = exported
         self.meta = dict(meta)
+        self._tables_memo = None
+        self._default_mesh = None
 
     def save(self, path):
         """Write the artifact (zip of StableHLO blob + JSON metadata)."""
@@ -218,6 +230,8 @@ class Deployed:
             return None
         shape = tuple(want['shape'])
         if mesh is None:
+            if self._default_mesh is not None:
+                return self._default_mesh
             n = int(np.prod(shape))
             avail = len(jax.devices())
             if avail != n:
@@ -227,6 +241,7 @@ class Deployed:
             from .parallel import make_mesh
             mesh = make_mesh(axis_names=tuple(want['axis_names']),
                              shape=shape)
+            self._default_mesh = mesh
         # The exported HloShardings are positional: the batch dim is laid
         # out over the FIRST mesh axis, so the serving mesh must reproduce
         # the exported axis shape, not just the device count.
@@ -236,23 +251,36 @@ class Deployed:
                              f'{tuple(mesh.devices.shape)}')
         return mesh
 
-    def __call__(self, dat, tables=None, mesh=None):
-        if tables is None:
-            tables = adiabat.default_tables()
-        mesh = self._mesh(mesh)
+    def _place_tables(self, tables, mesh):
+        """Device placement of the ~200 MB tables, memoized per
+        (tables, mesh) pair — serving loops must not re-transfer them on
+        every call."""
+        memo = self._tables_memo
+        if memo is not None and memo[0] is tables and memo[1] is mesh:
+            return memo[2]
         if mesh is not None:
-            from .parallel import replicate, shard_batch
+            from .parallel import replicate
             # replicate (not raw device_put): multi-process consistency
             # checks NaN-bearing tables elementwise, and a plain
-            # jnp.asarray would double-place ~200 MB via the default
-            # device (parallel/mesh.py:_put_global).
+            # jnp.asarray would double-place via the default device
+            # (parallel/mesh.py:_put_global).
             tab = replicate(tuple(
                 t if hasattr(t, 'ndim') else np.asarray(t)
                 for t in (tables.curves, tables.lookup, tables.coeffs)),
                 mesh)
-            place = lambda d: shard_batch(d, mesh)
         else:
             tab = _table_arrays(tables)
+        self._tables_memo = (tables, mesh, tab)
+        return tab
+
+    def __call__(self, dat, tables=None, mesh=None):
+        tables = _tables_or_load(tables)
+        mesh = self._mesh(mesh)
+        tab = self._place_tables(tables, mesh)
+        if mesh is not None:
+            from .parallel import shard_batch
+            place = lambda d: shard_batch(d, mesh)
+        else:
             place = lambda d: d
 
         bex = self.meta.get('batch')
