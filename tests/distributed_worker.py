@@ -57,7 +57,8 @@ def main():
         expect = {k[4:]: f[k] for k in f.files if k.startswith('out_')}
 
     mesh = make_mesh()            # GLOBAL mesh: all 8 devices, both hosts
-    tables = replicate(adiabat.load_moist_adiabat_lookups(), mesh)
+    raw_tables = adiabat.load_moist_adiabat_lookups()
+    tables = replicate(raw_tables, mesh)
     # Host-replicated numpy + a global sharding: each process places only
     # its addressable shards (the multi-host ingest contract).
     dat_sh = shard_batch(dat, mesh, batch_dims=1)
@@ -93,6 +94,32 @@ def main():
 
     print(f'[worker {pid}] OK: {checked} shards verified, '
           f'psum count={int(cnt)}', flush=True)
+
+    # SPMD serving across processes: a mesh= artifact served on a batch
+    # that does NOT fit the exported batch takes deploy's pad/chunk path,
+    # whose outputs are global arrays spanning both processes — the
+    # host-side materialization must gather them (Deployed._host), not
+    # np.asarray a non-addressable value.  B=24 through bex=16 -> pad to
+    # 32, two sharded chunks; every process ends with the full value.
+    from xarray_parcel_tpu import deploy
+    minref = {}
+    with np.load(data_path) as f:
+        minref = {k[7:]: f[k] for k in f.files if k.startswith('minout_')}
+    dep = deploy.export_pipeline('min_conv_properties', batch=16,
+                                 levels=dat['pressure'].shape[1],
+                                 dtype=np.float64, tables=raw_tables,
+                                 mesh=mesh)
+    served = dep(dat, tables=raw_tables, mesh=mesh)
+    for k, ref in minref.items():
+        got = np.asarray(served[k])
+        assert got.shape == ref.shape, (k, got.shape, ref.shape)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(ref),
+                                      err_msg=f'NaN pattern: {k}')
+        np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(ref),
+                                   rtol=2e-5, atol=2e-4, err_msg=k)
+    print(f'[worker {pid}] serving OK: {len(minref)} variables, '
+          f'batch {dat["pressure"].shape[0]} through exported 16',
+          flush=True)
 
 
 if __name__ == '__main__':

@@ -127,6 +127,85 @@ def test_polymorphic_batch(tables):
         dat = make_dat(B, seed=B)
         assert_tree_equal(deployed(dat, tables=tables),
                           pipeline.min_conv_properties(dat, tables=tables))
+    # The polymorphic path validates inputs like the fixed-batch path —
+    # a mixed/0-d batch must raise this module's ValueError, not a
+    # symbolic-shape constraint error from deep inside exported.call.
+    mixed = make_dat(8)
+    mixed['surface_wind_u'] = mixed['surface_wind_u'][:4]
+    with pytest.raises(ValueError, match='mixed leading batch'):
+        deployed(mixed, tables=tables)
+    scalar = make_dat(8)
+    scalar['surface_wind_u'] = np.float64(3.0)
+    with pytest.raises(ValueError, match='0-d'):
+        deployed(scalar, tables=tables)
+    with pytest.raises(ValueError, match='empty input'):
+        deployed({}, tables=tables)
+
+
+def test_table_placement_memoized(tables, artifact16):
+    # Serving loops must not re-transfer the tables per call: same
+    # (tables, mesh) pair -> one placement entry, identical arrays.
+    _, deployed = artifact16
+    deployed._placed.clear()
+    dat = make_dat(16, seed=40)
+    deployed(dat, tables=tables)
+    first = dict(deployed._placed)
+    deployed(dat, tables=tables)
+    assert len(deployed._placed) == 1
+    (key, val), = deployed._placed.items()
+    assert val[2] is first[key][2]
+    # A second tables object is a second entry, not an eviction.
+    tables2 = adiabat.AdiabatTables(tables.curves, tables.lookup,
+                                    tables.coeffs)
+    deployed(dat, tables=tables2)
+    assert len(deployed._placed) == 2
+
+
+def test_table_dtype_follows_artifact(tables, tmp_path):
+    # An artifact exported with f32 tables must serve from a process whose
+    # own config (x64 here) would pick the f64 cache: the exported table
+    # signature, not the serving config, chooses the table build.
+    import jax.numpy as jnp
+    tab32 = adiabat.AdiabatTables(
+        np.asarray(tables.curves, np.float32), np.asarray(tables.lookup),
+        np.asarray(tables.coeffs, np.float32))
+    deployed = deploy.export_pipeline('min_conv_properties', batch=8,
+                                      levels=24, dtype=jnp.float32,
+                                      tables=tab32)
+    assert deployed.meta['table_dtype'] == 'float32'
+    dat = {k: np.asarray(v, np.float32) if np.asarray(v).dtype.kind == 'f'
+           else np.asarray(v) for k, v in make_dat(8, seed=41).items()}
+    ref = deployed(dat, tables=tab32)
+    # Auto-load (tables=None) must pick the f32 flavour; restore the
+    # module's resident-table state afterwards (the suite runs fp64).
+    prev = (adiabat._DEFAULT_TABLES, adiabat._DEFAULT_SOURCE)
+    try:
+        got = deployed(dat)
+        auto = adiabat.default_tables()
+        assert np.dtype(auto.curves.dtype) == np.float32
+    finally:
+        adiabat._DEFAULT_TABLES, adiabat._DEFAULT_SOURCE = prev
+    assert_tree_equal({k: np.asarray(v) for k, v in got.items()},
+                      {k: np.asarray(v) for k, v in ref.items()})
+
+
+def test_custom_callable_pallas_flag(tables):
+    # uses_pallas on a custom callable overrides the name heuristic in
+    # both directions.
+    def nice_name(dat, tables=None):
+        return pipeline.min_conv_properties(dat, tables=tables)
+    nice_name.uses_pallas = True
+    with pytest.raises(ValueError, match='XLA-only'):
+        deploy.export_pipeline(nice_name, batch=None, polymorphic=True,
+                               levels=24, dtype=DTYPE, tables=tables)
+
+    def my_fused_alias(dat, tables=None):
+        return pipeline.min_conv_properties(dat, tables=tables)
+    my_fused_alias.uses_pallas = False
+    dep = deploy.export_pipeline(my_fused_alias, batch=None,
+                                 polymorphic=True, levels=24, dtype=DTYPE,
+                                 tables=tables)
+    assert dep.meta['polymorphic'] is True
 
 
 def test_fused_pipeline_exports(tables, tmp_path):

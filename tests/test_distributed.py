@@ -67,10 +67,16 @@ def test_two_process_global_mesh(tmp_path):
         {k: np.asarray(v) for k, v in dat.items()})
     ref = {k: np.asarray(jax.device_get(v)) for k, v in ref.items()}
     assert np.isfinite(ref['mu_cape']).any()
+    # Reference for the workers' SPMD serving check (deploy artifact of
+    # the reduced pipeline, served on a non-divisible batch).
+    minref = jax.jit(lambda d: pipeline.min_conv_properties(
+        d, tables=tables))({k: np.asarray(v) for k, v in dat.items()})
+    minref = {k: np.asarray(jax.device_get(v)) for k, v in minref.items()}
 
     path = tmp_path / 'grid.npz'
     np.savez(path, **{f'in_{k}': v for k, v in dat.items()},
-             **{f'out_{k}': v for k, v in ref.items()})
+             **{f'out_{k}': v for k, v in ref.items()},
+             **{f'minout_{k}': v for k, v in minref.items()})
 
     port = _free_port()
     env = dict(os.environ)
@@ -96,3 +102,4 @@ def test_two_process_global_mesh(tmp_path):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'[worker {i}] OK' in out, out
         assert '8 global devices' in out, out
+        assert f'[worker {i}] serving OK' in out, out

@@ -705,3 +705,133 @@ def test_from_dataset_nondivisible_mesh_raises(dat):
     mesh = make_mesh(jax.devices('cpu')[:8])
     with pytest.raises(ValueError, match='pad'):
         xarray_api.from_dataset(dat, mesh=mesh)
+
+
+def test_serve_subsets_to_artifact_contract(dat, dat_dew, tmp_path):
+    """serve() must reconcile the Dataset against the artifact's fixed
+    input contract: recognized-but-unexported variables (dewpoint) drop,
+    missing required ones raise a clear ValueError."""
+    from xarray_parcel_tpu import deploy
+    import jax.numpy as jnp
+    path = tmp_path / 'min40b.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=6, levels=40,
+                           dtype=jnp.float32, path=path)
+    ref = xarray_api.serve(dat, path)
+    out = xarray_api.serve(dat_dew, path)    # extra dewpoint variable
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    # A Dataset missing required artifact inputs fails with the missing
+    # names, not jax.export's pytree-structure error.
+    slim = xr.Dataset({k: (dat[k].dims, np.asarray(dat[k].values))
+                       for k in ('pressure', 'temperature',
+                                 'specific_humidity')})
+    with pytest.raises(ValueError, match='missing variables'):
+        xarray_api.serve(slim, path)
+
+
+def test_serve_broadcasts_partial_batch_dims(dat, tmp_path):
+    """A variable carrying only a subset of the batch dims (time-invariant
+    surface winds on a time+lat+lon grid) broadcasts to the full batch
+    before flattening, matching the direct pipeline's jnp broadcasting."""
+    from xarray_parcel_tpu import deploy
+    import jax.numpy as jnp
+    nt = 2
+    tdims = ('time',) + dat['pressure'].dims
+    ds = xr.Dataset(
+        {k: (tdims, np.broadcast_to(np.asarray(dat[k].values),
+                                    (nt,) + dat[k].values.shape).copy())
+         for k in ('pressure', 'temperature', 'specific_humidity',
+                   'height_asl', 'wind_u', 'wind_v',
+                   'wind_height_above_surface')} |
+        {k: (dat[k].dims, np.asarray(dat[k].values))
+         for k in ('surface_wind_u', 'surface_wind_v')},
+        coords={'time': np.arange(nt) * 1.0,
+                'latitude': np.asarray(dat.coords['latitude'].values),
+                'longitude': np.asarray(dat.coords['longitude'].values),
+                'model_level_number': np.arange(1, 41)})
+    path = tmp_path / 'min40c.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=6, levels=40,
+                           dtype=jnp.float32, path=path)
+    out = xarray_api.serve(ds, path)
+    assert out['mixed_100_cape'].dims == ('time', 'latitude', 'longitude')
+    a = np.asarray(out['mixed_100_cape'])
+    # Time slices are copies of the same grid -> identical results.
+    np.testing.assert_array_equal(a[0], a[1])
+    ref = xarray_api.serve(dat, path)
+    np.testing.assert_array_equal(a[0], np.asarray(ref['mixed_100_cape']))
+
+
+def test_storm_proxies_normalizes_dim_order(dat):
+    conv = xarray_api.conv_properties(dat)
+    ref = xarray_api.storm_proxies(conv)
+    # Permute one variable's dims (legal in xarray) — results must not
+    # silently misalign.
+    perm = conv.copy()
+    perm['lapse_rate_700_500'] = conv['lapse_rate_700_500'].transpose(
+        'longitude', 'latitude')
+    out = xarray_api.storm_proxies(perm)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_valid_data_non_numeric_coord(dat):
+    bad = dat.copy()
+    bad.coords['model_level_number'] = np.array(
+        ['L%d' % i for i in range(40)])
+    assert not xarray_api.valid_data(bad, strict=False).any()
+    with pytest.raises(ValueError, match='increments'):
+        xarray_api.valid_data(bad, strict=True)
+
+
+def test_from_dataset_unrecognized_variables():
+    ds = xr.Dataset({'temp': (('x',), np.arange(3.0))})
+    with pytest.raises(ValueError, match='recognized'):
+        xarray_api.from_dataset(ds)
+
+
+def test_single_column_dataset_rejects_mesh():
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+    L = 40
+    p = np.linspace(1005., 200., L)
+    t = 300.0 - 70.0 * (1.0 - (p / 1005.0) ** 0.3)
+    q = 0.014 * (p / 1005.0) ** 3 + 1e-5
+    h = 44330.0 * (1.0 - (p / 1013.25) ** 0.19)
+    dims = ('model_level_number',)
+    one = xr.Dataset(
+        {'pressure': (dims, p), 'temperature': (dims, t),
+         'specific_humidity': (dims, q), 'height_asl': (dims, h),
+         'surface_wind_u': ((), np.float64(3.0)),
+         'surface_wind_v': ((), np.float64(1.0)),
+         'wind_u': (dims, np.full(L, 8.0)),
+         'wind_v': (dims, np.full(L, 1.0)),
+         'wind_height_above_surface': (dims, h - h[0])},
+        coords={'model_level_number': np.arange(1, L + 1)})
+    mesh = make_mesh(jax.devices('cpu')[:8])
+    with pytest.raises(ValueError, match='batch'):
+        xarray_api.min_conv_properties(one, mesh=mesh)
+    with pytest.raises(ValueError, match='batch'):
+        xarray_api.from_dataset(one, mesh=mesh)
+
+
+def test_xr_lite_merge_keeps_dataarray_coords():
+    from xarray_parcel_tpu import xr_lite
+    da = xr_lite.DataArray(np.arange(6.0).reshape(2, 3), ('y', 'x'),
+                           coords={'y': xr_lite.DataArray(
+                               np.array([10., 20.]), ('y',), name='y')},
+                           name='field')
+    ds = xr_lite.merge([xr_lite.Dataset(), da])
+    assert 'field' in ds.data_vars
+    assert 'y' in ds.coords
+    np.testing.assert_array_equal(np.asarray(ds.coords['y'].values),
+                                  [10., 20.])
+
+
+def test_xr_lite_assign_coords_shares_data():
+    from xarray_parcel_tpu import xr_lite
+    base = np.arange(4.0)
+    ds = xr_lite.Dataset({'v': (('x',), base)})
+    out = ds.assign_coords(x=np.arange(4))
+    assert out['v'].values is ds['v'].values  # shared, not deep-copied

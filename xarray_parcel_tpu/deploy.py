@@ -66,6 +66,13 @@ PIPELINES = {
         _with_proxies(pipeline.conv_properties_fused),
 }
 
+#: Registry pipelines that lower through the Pallas kernel (and therefore
+#: need a concrete batch — no polymorphic export).  Custom callables can
+#: declare themselves with a ``uses_pallas`` attribute; without one, a
+#: ``_fused`` name is treated as Pallas-backed.
+_FUSED_PIPELINES = {'conv_properties_fused', 'min_conv_properties_fused',
+                    'conv_properties_fused_with_proxies'}
+
 
 def input_spec(batch, levels=90, wind_levels=None, dtype=jnp.float32):
     """ShapeDtypeStruct dict for the pipelines' input contract
@@ -89,20 +96,25 @@ def input_spec(batch, levels=90, wind_levels=None, dtype=jnp.float32):
     }
 
 
-def _table_arrays(tables):
-    return (jnp.asarray(tables.curves), jnp.asarray(tables.lookup),
-            jnp.asarray(tables.coeffs))
-
-
-def _tables_or_load(tables):
+def _tables_or_load(tables, dtype=None):
     """Default tables, auto-building/loading the cache in a fresh serving
-    process (the load-first guard stays for the library surfaces)."""
+    process (the load-first guard stays for the library surfaces).
+
+    ``dtype`` is the table dtype the artifact was exported with: the
+    serving process's own config (e.g. ``jax_enable_x64``) must not pick
+    the cache flavour, or a cross-configuration serve fails the exported
+    signature check.
+    """
     if tables is not None:
         return tables
     try:
-        return adiabat.default_tables()
+        tables = adiabat.default_tables()
     except RuntimeError:
-        return adiabat.load_moist_adiabat_lookups()
+        tables = None
+    if tables is None or (dtype is not None and
+                          np.dtype(tables.curves.dtype) != np.dtype(dtype)):
+        tables = adiabat.load_moist_adiabat_lookups(dtype=dtype)
+    return tables
 
 
 def export_pipeline(name, batch, levels=90, wind_levels=None,
@@ -125,11 +137,15 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     fn = PIPELINES[name] if isinstance(name, str) else name
     fn_name = name if isinstance(name, str) else getattr(
         name, '__name__', 'custom')
-    if polymorphic and '_fused' in fn_name:
+    uses_pallas = (fn_name in _FUSED_PIPELINES if isinstance(name, str)
+                   else bool(getattr(fn, 'uses_pallas',
+                                     '_fused' in fn_name)))
+    if polymorphic and uses_pallas:
         raise ValueError(
             'polymorphic batch is XLA-only: the fused pipelines fix the '
             'Pallas grid at trace time — export a fixed batch instead '
-            '(Deployed pads/chunks any grid onto it)')
+            '(Deployed pads/chunks any grid onto it); for a custom '
+            'callable, set fn.uses_pallas explicitly')
     if polymorphic and mesh is not None:
         raise ValueError('polymorphic batch and mesh sharding do not '
                          'compose — export a fixed sharded batch')
@@ -144,6 +160,8 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     elif batch is None:
         raise ValueError('batch=None needs polymorphic=True (or pass the '
                          'static batch size to export)')
+    elif int(batch) < 1:
+        raise ValueError(f'exported batch must be >= 1, got {batch}')
     else:
         batch_dim = int(batch)
     # batch_spec shards the batch over the FIRST mesh axis only.
@@ -153,11 +171,11 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                          'the mesh (Deployed pads any real grid onto it)')
     dat_spec = input_spec(batch_dim, levels=levels, wind_levels=wind_levels,
                           dtype=dtype)
-    # shape/dtype only — never np.asarray a (possibly device-resident,
-    # ~200 MB) table just to read its metadata.
-    tab_spec = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-        _table_arrays(tables))
+    # shape/dtype only — never materialize or device-place a (possibly
+    # host-resident, ~200 MB) table just to read its metadata.
+    tab_spec = tuple(
+        jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype))
+        for a in (tables.curves, tables.lookup, tables.coeffs))
     if mesh is not None:
         from .parallel import batch_spec, replicated
         from jax.sharding import NamedSharding
@@ -183,6 +201,9 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         'levels': int(levels),
         'wind_levels': int(levels if wind_levels is None else wind_levels),
         'dtype': np.dtype(dtype).name,
+        'table_dtype': np.dtype(tables.curves.dtype).name,
+        'table_dtypes': [np.dtype(a.dtype).name for a in
+                         (tables.curves, tables.lookup, tables.coeffs)],
         'platforms': list(exp.platforms),
         'mesh': None if mesh is None else {
             'axis_names': list(mesh.axis_names),
@@ -207,7 +228,7 @@ class Deployed:
     def __init__(self, exported, meta):
         self.exported = exported
         self.meta = dict(meta)
-        self._tables_memo = None
+        self._placed = {}             # (id(tables), id(mesh)) -> placement
         self._default_mesh = None
 
     def save(self, path):
@@ -254,27 +275,64 @@ class Deployed:
     def _place_tables(self, tables, mesh):
         """Device placement of the ~200 MB tables, memoized per
         (tables, mesh) pair — serving loops must not re-transfer them on
-        every call."""
-        memo = self._tables_memo
+        every call.  The value tuple pins both keys' referents so a
+        recycled ``id()`` can never alias a dead entry."""
+        key = (id(tables), None if mesh is None else id(mesh))
+        memo = self._placed.get(key)
         if memo is not None and memo[0] is tables and memo[1] is mesh:
             return memo[2]
+        arrs = tuple(t if hasattr(t, 'ndim') else np.asarray(t)
+                     for t in (tables.curves, tables.lookup, tables.coeffs))
+        # Coerce each array to its exported dtype (curves/lookup/coeffs can
+        # legitimately differ — a downcast table keeps its wider lookup).
+        # A no-op when they match; the rare mismatch cast is memoized.
+        want = self.meta.get('table_dtypes')
+        if want:
+            arrs = tuple(a if np.dtype(a.dtype) == np.dtype(w)
+                         else a.astype(np.dtype(w))
+                         for a, w in zip(arrs, want))
         if mesh is not None:
             from .parallel import replicate
             # replicate (not raw device_put): multi-process consistency
             # checks NaN-bearing tables elementwise, and a plain
             # jnp.asarray would double-place via the default device
             # (parallel/mesh.py:_put_global).
-            tab = replicate(tuple(
-                t if hasattr(t, 'ndim') else np.asarray(t)
-                for t in (tables.curves, tables.lookup, tables.coeffs)),
-                mesh)
+            tab = replicate(arrs, mesh)
         else:
-            tab = _table_arrays(tables)
-        self._tables_memo = (tables, mesh, tab)
+            tab = tuple(jnp.asarray(a) for a in arrs)
+        self._placed[key] = (tables, mesh, tab)
         return tab
 
+    @staticmethod
+    def _host(out):
+        """Materialize a served output pytree host-side.  On one process,
+        plain ``np.asarray``; across processes the chunk outputs are
+        global arrays spanning non-addressable devices, so gather them
+        (each process gets the full value, as for the inputs)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(out, tiled=True)
+        return jax.tree_util.tree_map(np.asarray, out)
+
     def __call__(self, dat, tables=None, mesh=None):
-        tables = _tables_or_load(tables)
+        """Serve one batch.  Exact-fit and polymorphic calls return device
+        arrays; the pad/chunk path returns host numpy arrays (outputs are
+        materialized chunk-by-chunk)."""
+        if not dat:
+            raise ValueError('empty input dict — nothing to serve')
+        bad = sorted(k for k, v in dat.items() if not np.shape(v))
+        if bad:
+            raise ValueError('inputs must carry a leading batch dim; '
+                             f'0-d fields: {bad}')
+        sizes = {np.shape(v)[0] for v in dat.values()}
+        if len(sizes) != 1:
+            raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
+        b = sizes.pop()
+        if b == 0:
+            raise ValueError('empty batch (leading dim 0) — nothing to '
+                             'serve')
+
+        tables = _tables_or_load(tables, dtype=self.meta.get('table_dtype'))
         mesh = self._mesh(mesh)
         tab = self._place_tables(tables, mesh)
         if mesh is not None:
@@ -287,22 +345,16 @@ class Deployed:
         if bex is None:                       # polymorphic artifact
             return self.exported.call(
                 {k: jnp.asarray(v) for k, v in dat.items()}, tab)
-
-        sizes = {np.shape(v)[0] for v in dat.values()}
-        if len(sizes) != 1:
-            raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
-        b = sizes.pop()
         if b == bex:                          # exact fit: no copies at all
             return self.exported.call(place(dat), tab)
-        if b == 0:
-            raise ValueError('empty batch (leading dim 0) — nothing to '
-                             'serve through a fixed-batch artifact')
 
         # Mismatched batch: pad/slice on the HOST (numpy views are free
         # and the exported call stages each chunk to the device anyway —
         # eager device pad/slice programs would each cost a compile).
         # Device-resident inputs take one transfer here; outputs come
-        # back as host arrays.
+        # back as host arrays.  The loop keeps one chunk in flight while
+        # the previous chunk's outputs read back, so D2H overlaps compute
+        # instead of serializing against it.
         from .parallel.chunked import pad_fill
         dat = {k: np.asarray(v) for k, v in dat.items()}
         pad = (-b) % bex
@@ -310,11 +362,14 @@ class Deployed:
             dat = {k: np.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1),
                              constant_values=pad_fill(v.dtype))
                    for k, v in dat.items()}
-        chunks = []
+        chunks, pending = [], None
         for i in range((b + pad) // bex):
             sl = {k: v[i * bex:(i + 1) * bex] for k, v in dat.items()}
-            chunks.append(jax.tree_util.tree_map(
-                np.asarray, self.exported.call(place(sl), tab)))
+            out = self.exported.call(place(sl), tab)
+            if pending is not None:
+                chunks.append(self._host(pending))
+            pending = out
+        chunks.append(self._host(pending))
         return jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0)[:b], *chunks)
 

@@ -28,12 +28,14 @@ import jax
 import jax.numpy as jnp
 
 
-def pad_fill(dtype):
-    """The batch-padding value contract, shared with ``deploy.Deployed``:
-    NaN for floats (the pipelines' NaN semantics turn padded rows into
-    NaN outputs), zero for ints/bools.  Padded rows are sliced off."""
+def pad_fill(dtype, float_fill=np.nan):
+    """The batch-padding value contract, shared with ``deploy.Deployed``
+    and ``parallel.pad_batch``: ``float_fill`` (NaN — the pipelines' NaN
+    semantics turn padded rows into NaN outputs) for floats, zero for
+    ints/bools.  Padded rows are sliced off."""
     dtype = np.dtype(dtype)
-    return np.nan if np.issubdtype(dtype, np.floating) else np.zeros((), dtype)
+    return (float_fill if np.issubdtype(dtype, np.floating)
+            else np.zeros((), dtype))
 
 
 def chunked(fn, chunk_columns=1 << 18):
@@ -54,6 +56,11 @@ def chunked(fn, chunk_columns=1 << 18):
     """
     def wrapped(dat):
         leaves = jax.tree_util.tree_leaves(dat)
+        if not leaves:
+            raise ValueError('empty input pytree — nothing to chunk')
+        if any(not np.shape(x) for x in leaves):
+            raise ValueError('inputs must carry a leading batch dim; '
+                             'got a 0-d leaf')
         sizes = {np.shape(x)[0] for x in leaves}
         if len(sizes) != 1:
             raise ValueError(f'mixed leading batch dims: {sorted(sizes)}')
@@ -80,11 +87,23 @@ def chunked(fn, chunk_columns=1 << 18):
     return wrapped
 
 
+_SCAN_MAP_JITS = {}
+
+
 def scan_map(fn, dat, chunk_columns=1 << 18, jit=True):
     """One-shot form: run ``fn`` over ``dat`` chunk-wise in one program.
 
     Convenience for ``jax.jit(chunked(fn, chunk_columns))(dat)``; pass
-    ``jit=False`` to trace inside an enclosing jit instead.
+    ``jit=False`` to trace inside an enclosing jit instead.  The jitted
+    wrapper is memoized per ``(fn, chunk_columns)`` so calling scan_map
+    in a loop reuses one traced program instead of re-tracing each call
+    (JAX's executable cache is keyed on function identity).
     """
-    wrapped = chunked(fn, chunk_columns)
-    return jax.jit(wrapped)(dat) if jit else wrapped(dat)
+    if not jit:
+        return chunked(fn, chunk_columns)(dat)
+    key = (fn, int(chunk_columns))
+    wrapped = _SCAN_MAP_JITS.get(key)
+    if wrapped is None:
+        wrapped = _SCAN_MAP_JITS.setdefault(
+            key, jax.jit(chunked(fn, chunk_columns)))
+    return wrapped(dat)

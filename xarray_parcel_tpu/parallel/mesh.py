@@ -115,19 +115,24 @@ def pad_batch(tree, mesh, fill=np.nan):
     ``(padded_tree, original_batch)``; slice outputs with ``[:original]``.
     """
     n = mesh.devices.size
-    sizes = {np.asarray(x).shape[0] for x in jax.tree_util.tree_leaves(tree)}
-    assert len(sizes) == 1, f'mixed leading-dim sizes: {sizes}'
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        raise ValueError('empty pytree — nothing to pad')
+    sizes = {np.asarray(x).shape[0] for x in leaves}
+    if len(sizes) != 1:
+        raise ValueError(f'mixed leading-dim sizes: {sorted(sizes)}')
     b = sizes.pop()
     pad = (-b) % n
+
+    from .chunked import pad_fill
 
     def one(x):
         x = np.asarray(x)
         if not pad:
             return x
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        value = fill if np.issubdtype(x.dtype, np.floating) else \
-            np.zeros((), x.dtype)
-        return np.pad(x, widths, constant_values=value)
+        return np.pad(x, widths,
+                      constant_values=pad_fill(x.dtype, float_fill=fill))
 
     return jax.tree_util.tree_map(one, tree), b
 
@@ -141,11 +146,22 @@ def replicate(tree, mesh):
 def sharded_jit(fn, mesh, batch_dims=1, donate=False):
     """jit ``fn`` so array args/outputs with >= batch_dims+1 dims shard their
     leading batch dims over the mesh.  The closest analogue of the
-    reference's "open chunked + compute" pattern, compiled once."""
+    reference's "open chunked + compute" pattern, compiled once.
+
+    ``donate=True`` donates every positional argument's buffer to the
+    computation (outputs may reuse input HBM — the difference between
+    fitting and OOMing at the largest batches)."""
+    jits = {}                       # donation is per-arity (donate_argnums)
+
     def wrapper(*args, **kwargs):
         args = shard_batch(args, mesh, batch_dims)
         kwargs = shard_batch(kwargs, mesh, batch_dims)
-        return jax.jit(fn)(*args, **kwargs)
+        key = len(args)
+        jitted = jits.get(key)
+        if jitted is None:
+            jitted = jits.setdefault(key, jax.jit(
+                fn, donate_argnums=tuple(range(key)) if donate else ()))
+        return jitted(*args, **kwargs)
     return wrapper
 
 
@@ -153,16 +169,39 @@ def global_stats(x, mesh, axis_name='data'):
     """Cross-device statistics of a sharded field: (finite count, mean, max)
     — the validation reductions that are this workload's only communication.
     Collectives ride the mesh via shard_map + psum/pmax.
+
+    The reductions are isfinite-masked, so a mesh-indivisible batch is
+    NaN-padded transparently (shard_map needs even shards); a field with
+    zero finite values reports mean NaN, not 0.
     """
+    n0 = int(mesh.shape[mesh.axis_names[0]])
+    rem = int(x.shape[0]) % n0
     spec = batch_spec(mesh, x.ndim, 1)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=P())
-    def stats(shard):
-        finite = jnp.isfinite(shard)
-        cnt = jax.lax.psum(jnp.sum(finite), axis_name)
-        tot = jax.lax.psum(jnp.sum(jnp.where(finite, shard, 0.0)), axis_name)
-        mx = jax.lax.pmax(jnp.max(jnp.where(finite, shard, -jnp.inf)),
-                          axis_name)
-        return cnt, tot / jnp.maximum(cnt, 1), mx
+    @partial(jax.jit, static_argnames=('pad',))
+    def stats(x, pad=0):
+        if pad:
+            x_ = jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], jnp.nan, x.dtype)])
+        else:
+            x_ = x
 
-    return stats(x)
+        @partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=P())
+        def body(shard):
+            finite = jnp.isfinite(shard)
+            cnt = jax.lax.psum(jnp.sum(finite), axis_name)
+            tot = jax.lax.psum(jnp.sum(jnp.where(finite, shard, 0.0)),
+                               axis_name)
+            mx = jax.lax.pmax(jnp.max(jnp.where(finite, shard, -jnp.inf)),
+                              axis_name)
+            mean = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1), jnp.nan)
+            return cnt, mean, mx
+
+        return body(x_)
+
+    if rem and not np.issubdtype(np.dtype(x.dtype), np.floating):
+        raise ValueError(
+            f'batch {int(x.shape[0])} does not divide the {n0}-way mesh '
+            'axis and non-float fields cannot be NaN-padded — pad to a '
+            'multiple first (parallel.pad_batch)')
+    return stats(x, pad=(n0 - rem) if rem else 0)

@@ -274,6 +274,10 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
     """
     names = variables or [v for v in _LEVEL_VARS if v in dat] + \
         [v for v in ('surface_wind_u', 'surface_wind_v') if v in dat]
+    if not names:
+        raise ValueError(
+            'Dataset carries none of the recognized variables '
+            f'{_LEVEL_VARS + ("surface_wind_u", "surface_wind_v")}')
     batch_dims = tuple(d for d in dat[names[0]].dims if d != vert_dim)
 
     fields = {}
@@ -292,6 +296,11 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
 
     if mesh is not None:
         from .parallel import shard_batch
+        if not batch_dims:
+            raise ValueError(
+                'mesh= needs at least one non-vertical (batch) dim to '
+                'shard — a single-column Dataset would shard its LEVEL '
+                'axis across devices')
         lead = next(iter(fields.values())).shape[0]
         if lead % mesh.devices.size:
             raise ValueError(
@@ -312,19 +321,27 @@ def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
 # Pipelines (Dataset in / Dataset out)
 # ---------------------------------------------------------------------------
 
+_PIPELINE_DOC_EXTRA = """Dataset-surface extras: ``stream_columns`` \
+processes the grid out-of-core in chunks of that many columns (the \
+dask-chunking analogue; one compile, chunk transfers overlap compute — \
+see ``parallel.stream_map``).  With ``mesh`` as well, each chunk shards \
+over the mesh, so grids larger than one device's HBM stream through all \
+devices SPMD."""
+
+
 def _dataset_pipeline(fn):
     @functools.wraps(fn)
     def wrapper(dat, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None,
                 stream_columns=None, **kwargs):
-        """``stream_columns``: process the grid out-of-core in chunks of
-        that many columns (the dask-chunking analogue; one compile, chunk
-        transfers overlap compute — see ``parallel.stream_map``).  With
-        ``mesh`` as well, each chunk shards over the mesh, so grids larger
-        than one device's HBM stream through all devices SPMD."""
         # When streaming, the full grid must never be device_put whole —
         # chunks are placed (and mesh-sharded) one at a time inside
         # stream_map.
         fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=None)
+        if (mesh is not None or stream_columns) and not batch_dims:
+            raise ValueError(
+                'mesh=/stream_columns= need at least one non-vertical '
+                '(batch) dim — a single-column Dataset would chunk/shard '
+                'its LEVEL axis')
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
@@ -348,6 +365,10 @@ def _dataset_pipeline(fn):
             out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
         return to_dataset(out, batch_dims, coords=coords)
+    # functools.wraps copied fn's docstring; append the Dataset-surface
+    # extras so they are actually reachable from help().
+    wrapper.__doc__ = ((fn.__doc__ or '').rstrip() + '\n\n' +
+                       _PIPELINE_DOC_EXTRA)
     return wrapper
 
 
@@ -374,15 +395,49 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     if not isinstance(artifact, _deploy.Deployed):
         artifact = _deploy.load(artifact)
     fields, batch_dims = from_dataset(dat, vert_dim=vert_dim)
+    # The artifact's input pytree is the fixed pipeline contract
+    # (deploy.input_spec): drop recognized-but-unexported variables
+    # (e.g. dewpoint) and fail missing ones with a clear message rather
+    # than jax.export's treedef mismatch.
+    expected = set(_deploy.input_spec(1))
+    missing = sorted(expected - set(fields))
+    if missing:
+        raise ValueError(
+            f'Dataset is missing variables the artifact requires: '
+            f'{missing} (the exported input contract is '
+            f'{sorted(expected)})')
+    fields = {k: v for k, v in fields.items() if k in expected}
     nb = len(batch_dims)
-    batch_shape = next(iter(fields.values())).shape[:nb]
+    # Per-dim batch sizes: a variable may carry only a subset of the
+    # batch dims (e.g. time-invariant surface winds on a time+lat+lon
+    # grid) — broadcast it to the full batch shape before flattening.
+    sizes = {}
+    for name in fields:
+        da = dat[name]
+        for d, s in zip(da.dims, np.shape(da.values)):
+            if d != vert_dim:
+                sizes[d] = int(s)
+    batch_shape = tuple(sizes[d] for d in batch_dims)
     # from_dataset repacks to f32; match the artifact's exported dtype
     # (a lossless upcast for f64 artifacts) instead of failing the
     # export-layer signature check.
     want = np.dtype(artifact.meta.get('dtype', 'float32'))
-    flat = {k: np.asarray(v).reshape((-1,) + v.shape[nb:])
-            .astype(want, copy=False) for k, v in fields.items()}
-    out = artifact(flat, tables=_resolve_tables(tables), mesh=mesh)
+
+    def flat_one(name, v):
+        v = np.asarray(v)
+        own = tuple(d for d in batch_dims if d in dat[name].dims)
+        if own != batch_dims:
+            shape1 = tuple(sizes[d] if d in own else 1
+                           for d in batch_dims) + v.shape[len(own):]
+            v = np.broadcast_to(v.reshape(shape1),
+                                batch_shape + v.shape[len(own):])
+        return np.reshape(v, (-1,) + v.shape[nb:]).astype(want, copy=False)
+
+    flat = {k: flat_one(k, v) for k, v in fields.items()}
+    # Pass tables through UN-resolved: Deployed auto-loads the artifact's
+    # recorded table dtype in a fresh serving process (deploy.py), which
+    # this process's own default tables need not match.
+    out = artifact(flat, tables=tables, mesh=mesh)
     out = {k: np.asarray(v).reshape(batch_shape + np.shape(v)[1:])
            for k, v in out.items()}
     coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
@@ -392,9 +447,12 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
     """Storm proxies from a conv_properties Dataset
     (reference: modules/parcel_functions.py:2323-2407)."""
-    fields = {k: np.asarray(conv[k].values) for k in conv.data_vars}
+    das = [conv[k] for k in conv.data_vars]
+    batch_dims = _batch_dims_of(das, vert_dim)
+    # Normalize every variable to the shared dim order — merged Datasets
+    # may legally carry permuted dims per variable.
+    fields = {k: _lower(conv[k], None, batch_dims) for k in conv.data_vars}
     out = _jitted(_pipeline.storm_proxies)(fields)
-    batch_dims = tuple(conv[list(conv.data_vars)[0]].dims)
     coords = {d: conv.coords[d] for d in batch_dims if d in conv.coords}
     return to_dataset(out, batch_dims, coords=coords)
 
@@ -418,7 +476,12 @@ def valid_data(dat, vert_dim=DEFAULT_VERT_DIM, strict=True):
     else:
         vert = _vert_coord_of([dat['pressure']], vert_dim)
     if vert is not None and len(vert) > 1:
-        if not np.all(np.abs(np.diff(np.asarray(vert, dtype=float))) == 1):
+        try:
+            unit = bool(np.all(np.abs(np.diff(
+                np.asarray(vert, dtype=float))) == 1))
+        except (TypeError, ValueError):
+            unit = False      # non-numeric coord cannot be a unit index
+        if not unit:
             if strict:
                 raise ValueError('Index increments must all be 1.')
             return np.zeros(np.asarray(p).shape[:-1], dtype=bool)

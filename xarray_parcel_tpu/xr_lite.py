@@ -152,7 +152,11 @@ class Dataset:
         return out
 
     def assign_coords(self, coords=None, **kwargs):
-        out = self.copy()
+        # New containers, shared variable data (as xarray does): a deep
+        # value copy per assign would double memory on every lifted grid.
+        out = Dataset()
+        out.data_vars = dict(self.data_vars)
+        out.coords = dict(self.coords)
         for name, value in {**(coords or {}), **kwargs}.items():
             out.coords[name] = value if isinstance(value, DataArray) \
                 else _as_dataarray(name, value)
@@ -171,6 +175,7 @@ def merge(objects):
             if obj.name is None:
                 raise ValueError('cannot merge an unnamed DataArray')
             out.data_vars[obj.name] = obj
+            out.coords.update(obj.coords or {})
         else:
             out.data_vars.update(obj.data_vars)
             out.coords.update(obj.coords)
