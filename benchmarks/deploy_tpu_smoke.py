@@ -116,8 +116,12 @@ def main():
         res['export_s'] = time.time() - t0
         res['artifact_bytes'] = os.path.getsize(path)
         loaded = deploy.load(path)
+        # Round-8 slim default: the artifact embeds the spectral
+        # coefficients and serves with NO tables argument on the chip.
+        res['slim'] = bool(loaded.meta.get('slim'))
+        assert res['slim'], 'fused pipeline should auto-slim'
         t0 = time.time()
-        got = loaded(dat, tables=tables)
+        got = loaded(dat)
         got = {k: np.asarray(v) for k, v in got.items()}
         res['first_call_s'] = time.time() - t0
 
@@ -143,7 +147,7 @@ def main():
                                  np.asarray(v)[:1000]], axis=0)
               for k, v in dat.items()}
     t0 = time.time()
-    godd = loaded(datodd, tables=tables)
+    godd = loaded(datodd)
     for k in ref:
         a = np.asarray(godd[k])
         assert a.shape[0] == B + 1000, k

@@ -162,16 +162,17 @@ def test_table_placement_memoized(tables, artifact16):
 
 
 def test_table_dtype_follows_artifact(tables, tmp_path):
-    # An artifact exported with f32 tables must serve from a process whose
-    # own config (x64 here) would pick the f64 cache: the exported table
-    # signature, not the serving config, chooses the table build.
+    # A FULL-TABLE artifact exported with f32 tables must serve from a
+    # process whose own config (x64 here) would pick the f64 cache: the
+    # exported table signature, not the serving config, chooses the table
+    # build.  (slim=False: slim artifacts never auto-load anything.)
     import jax.numpy as jnp
     tab32 = adiabat.AdiabatTables(
         np.asarray(tables.curves, np.float32), np.asarray(tables.lookup),
         np.asarray(tables.coeffs, np.float32))
     deployed = deploy.export_pipeline('min_conv_properties', batch=8,
                                       levels=24, dtype=jnp.float32,
-                                      tables=tab32)
+                                      tables=tab32, slim=False)
     assert deployed.meta['table_dtype'] == 'float32'
     dat = {k: np.asarray(v, np.float32) if np.asarray(v).dtype.kind == 'f'
            else np.asarray(v) for k, v in make_dat(8, seed=41).items()}
@@ -313,9 +314,15 @@ def test_artifact_serves_in_a_fresh_process(tables, artifact16, tmp_path):
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.config.update('jax_enable_x64', True)\n"
-        "from xarray_parcel_tpu import deploy\n"
+        "from xarray_parcel_tpu import deploy, adiabat\n"
+        # The artifact is slim: serving must never touch the table
+        # cache/build path.  Make any attempt fail loudly.
+        "def _no(*a, **k): raise RuntimeError('tables must not load')\n"
+        "adiabat.load_moist_adiabat_lookups = _no\n"
         f"dat = dict(np.load({str(datfile)!r}))\n"
-        f"out = deploy.load({str(path)!r})(dat)\n"   # default tables
+        f"dep = deploy.load({str(path)!r})\n"
+        "assert dep.meta['slim'] is True\n"
+        "out = dep(dat)\n"                       # embedded coefficients
         f"np.savez({str(outfile)!r}, "
         "**{k: np.asarray(v) for k, v in out.items()})\n")
     proc = subprocess.run([sys.executable, '-c', child], timeout=540,
@@ -325,6 +332,118 @@ def test_artifact_serves_in_a_fresh_process(tables, artifact16, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     got = dict(np.load(outfile))
     assert_tree_equal(got, {k: np.asarray(v) for k, v in ref.items()})
+
+
+def test_slim_artifact_is_standalone(tables, artifact16, tmp_path):
+    """Auto-slim: registry pipelines read only tables.coeffs, so the
+    artifact embeds them (~2-5 MB) and serves with NO tables argument and
+    NO module table state — the zip is the whole deployment."""
+    import zipfile
+    path, deployed = artifact16
+    assert deployed.meta['slim'] is True
+    assert deployed.meta['table_dtypes'] == [
+        np.dtype(np.asarray(tables.coeffs).dtype).name]
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+    assert 'tables.npz' in names
+    # Serve with tables=None, embedded coefficients only; equality with
+    # both the explicit-tables serve and the direct pipeline call.
+    dat = make_dat(16, seed=50)
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    assert_tree_equal(deployed(dat), ref)
+    loaded = deploy.load(path)
+    assert loaded._embedded is not None
+    np.testing.assert_array_equal(loaded._embedded[0],
+                                  np.asarray(tables.coeffs))
+    assert_tree_equal(loaded(dat), ref)
+    # Embedded placement is memoized under a stable key.
+    loaded._placed.clear()
+    loaded(dat)
+    first = dict(loaded._placed)
+    loaded(dat)
+    assert len(loaded._placed) == 1
+    (key, val), = loaded._placed.items()
+    assert val[2] is first[key][2]
+
+
+def test_slim_false_forces_full_tables(tables, tmp_path):
+    import zipfile
+    path = tmp_path / 'full.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=8, levels=24,
+                           dtype=DTYPE, tables=tables, slim=False, path=path)
+    loaded = deploy.load(path)
+    assert loaded.meta['slim'] is False
+    assert len(loaded.meta['table_dtypes']) == 3
+    with zipfile.ZipFile(path) as z:
+        assert 'tables.npz' not in set(z.namelist())
+    dat = make_dat(8, seed=51)
+    assert_tree_equal(loaded(dat, tables=tables),
+                      pipeline.min_conv_properties(dat, tables=tables))
+
+
+def test_slim_rejects_table_reading_pipeline(tables):
+    """A pipeline that genuinely gathers from the full tables: slim=True
+    raises naming the arrays; auto (None) falls back to full-table."""
+    def lookup_pipeline(dat, tables=None):
+        out = dict(pipeline.min_conv_properties(dat, tables=tables))
+        # bilinear index mode reads tables.lookup (and the curve
+        # evaluation reads tables.curves when coeffs are bypassed).
+        out['ml_probe'] = adiabat.moist_lapse(
+            dat['pressure'], dat['temperature'][..., 0],
+            tables=tables, index_mode='bilinear', curve_blend=False)[..., 5]
+        return out
+
+    with pytest.raises(ValueError, match='curves.*lookup|lookup'):
+        deploy.export_pipeline(lookup_pipeline, batch=8, levels=24,
+                               dtype=DTYPE, tables=tables, slim=True)
+    dep = deploy.export_pipeline(lookup_pipeline, batch=8, levels=24,
+                                 dtype=DTYPE, tables=tables)
+    assert dep.meta['slim'] is False
+    dat = make_dat(8, seed=52)
+    got = dep(dat, tables=tables)
+    assert 'ml_probe' in got and np.isfinite(
+        np.asarray(got['ml_probe'])).any()
+
+
+def test_slim_sharded_export(tables):
+    # slim + mesh: the embedded coefficients replicate over the mesh.
+    from xarray_parcel_tpu import parallel
+    mesh = parallel.make_mesh()
+    dep = deploy.export_pipeline('min_conv_properties', batch=16,
+                                 levels=24, dtype=DTYPE, tables=tables,
+                                 mesh=mesh)
+    assert dep.meta['slim'] is True
+    dat = make_dat(16, seed=53)
+    got = dep(dat, mesh=mesh)          # no tables at all
+    assert len(got['mixed_100_cape'].sharding.device_set) == 8
+    assert_tree_equal(got, pipeline.min_conv_properties(dat, tables=tables))
+
+
+def test_cli_export_serve_info(tables, tmp_path, capsys):
+    """python -m xarray_parcel_tpu.deploy: export -> serve file-to-file
+    (slim artifact; no tables anywhere on the serving side)."""
+    art = tmp_path / 'cli.xpz'
+    assert deploy.main(['export', '--pipeline', 'min_conv_properties',
+                        '--batch', '8', '--levels', '24',
+                        '--dtype', 'float64', '-o', str(art)]) == 0
+    dat = make_dat(12, seed=60)
+    infile, outfile = tmp_path / 'in.npz', tmp_path / 'out.npz'
+    np.savez(infile, **{k: np.asarray(v) for k, v in dat.items()},
+             junk=np.arange(12.0))
+    assert deploy.main(['serve', str(art), '--input', str(infile),
+                        '-o', str(outfile)]) == 0
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    got = dict(np.load(outfile))
+    assert_tree_equal(got, {k: np.asarray(v) for k, v in ref.items()})
+    assert deploy.main(['info', str(art)]) == 0
+    out = capsys.readouterr().out
+    assert '"slim": true' in out
+    assert 'ignoring 1 unrecognized' in out
+    # Missing required variables fail with their names, not a tree error.
+    np.savez(infile, pressure=np.asarray(dat['pressure']))
+    with pytest.raises(SystemExit, match='missing required'):
+        deploy.main(['serve', str(art), '--input', str(infile),
+                     '-o', str(outfile)])
 
 
 def test_compilation_cache_fills(tmp_path):

@@ -11,9 +11,19 @@ process:
 
 - :func:`export_pipeline` AOT-traces and lowers a pipeline to a
   serialized StableHLO artifact (zip of the ``jax.export`` blob + JSON
-  metadata).  The adiabat tables stay *arguments* rather than baked-in
-  constants, so the artifact is ~100 kB instead of ~200 MB and one
-  artifact serves any table build.
+  metadata).  Every registry pipeline reads ONLY the ~2-5 MB spectral
+  coefficients at runtime (the 300 MB curves/lookup arrays are build-time
+  inputs: the fused kernel evaluates piecewise-Chebyshev rows,
+  ``fused.py:445``, and curve indexing integrates the ODE backwards,
+  ``adiabat.curve_index_integrate``), so by default the export is *slim*:
+  the coefficients are embedded in the artifact and the serving process
+  needs NO table cache, NO table build, and no ``tables=`` argument at
+  all — the zip is the whole deployment.  A pipeline that genuinely
+  gathers from the full tables (``index_mode='bilinear'``/``'nearest'``,
+  pointwise ``moist_lapse``) is detected by dead-code-eliminating the
+  traced program and automatically falls back to the full-table artifact,
+  where tables stay runtime arguments (~100 kB zip + the table cache at
+  serve time).
 - :func:`load` returns a :class:`Deployed` callable.  Fixed-batch
   artifacts serve ANY grid size: inputs pad up to the exported batch
   (NaN for floats — the pipelines' NaN contract turns padded rows into
@@ -32,6 +42,7 @@ expansion elsewhere.  Pass ``platforms=('cpu', 'tpu')`` for a
 multi-platform XLA artifact.
 """
 
+import io
 import json
 import zipfile
 
@@ -117,9 +128,33 @@ def _tables_or_load(tables, dtype=None):
     return tables
 
 
+_TABLE_NAMES = ('curves', 'lookup', 'coeffs')
+
+
+def _used_tables(fn, dat_spec, tab_spec, kwargs):
+    """Which of the three table arrays the pipeline actually READS.
+
+    Traces the pipeline abstractly (no compile, no device work) and
+    dead-code-eliminates the jaxpr; the DCE's used-inputs mask on the
+    three table leaves is the slim-export eligibility test.  A plain
+    "does the var appear in an equation" scan would false-positive on
+    dead equations; DCE does not.
+    """
+    def probe(dat, table_arrays):
+        return dict(fn(dat, tables=adiabat.AdiabatTables(*table_arrays),
+                       **kwargs))
+
+    from jax.interpreters import partial_eval as pe
+    closed = jax.make_jaxpr(probe)(dat_spec, tab_spec)
+    n_dat = len(jax.tree_util.tree_leaves(dat_spec))
+    _, used = pe.dce_jaxpr(closed.jaxpr, [True] * len(closed.jaxpr.outvars))
+    return {n for n, f in zip(_TABLE_NAMES, used[n_dat:n_dat + 3]) if f}
+
+
 def export_pipeline(name, batch, levels=90, wind_levels=None,
                     dtype=jnp.float32, tables=None, polymorphic=False,
-                    platforms=None, mesh=None, path=None, **kwargs):
+                    platforms=None, mesh=None, path=None, slim=None,
+                    **kwargs):
     """AOT-export a named pipeline (or any dict->dict callable taking a
     ``tables=`` kwarg) at a static input shape; returns a :class:`Deployed`.
 
@@ -132,7 +167,16 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     of the same device count (see :meth:`Deployed.__call__`).  ``kwargs``
     are closed over (they become part of the compiled program, e.g.
     ``ignore_nans=True``).  ``tables`` defaults to the cached table
-    build; only their shapes/dtypes enter the artifact.
+    build.
+
+    ``slim`` controls whether the ~2-5 MB spectral coefficients are
+    embedded so the artifact is fully standalone (see the module
+    docstring).  Default ``None`` = auto: slim whenever the pipeline
+    reads only ``tables.coeffs`` (true for every registry pipeline),
+    full-table otherwise.  ``True`` forces slim and raises if the
+    pipeline reads the curves/lookup arrays; ``False`` forces the
+    full-table artifact (tables stay runtime arguments; only their
+    shapes/dtypes enter the artifact).
     """
     fn = PIPELINES[name] if isinstance(name, str) else name
     fn_name = name if isinstance(name, str) else getattr(
@@ -151,9 +195,60 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                          'compose — export a fixed sharded batch')
     tables = _tables_or_load(tables)
 
-    def wrapper(dat, table_arrays):
-        tab = adiabat.AdiabatTables(*table_arrays)
-        return dict(fn(dat, tables=tab, **kwargs))
+    full_tab_spec = tuple(
+        jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype))
+        for a in (tables.curves, tables.lookup, tables.coeffs))
+    if slim is None or slim:
+        if getattr(tables, 'coeffs', None) is None:
+            big = ['coeffs is None — rebuild the tables']
+            if slim:
+                raise ValueError(
+                    'slim=True needs spectral coefficients but '
+                    'tables.coeffs is None — rebuild with '
+                    'load_moist_adiabat_lookups()')
+        else:
+            # Eligibility probe at a small concrete batch (table usage is
+            # batch-independent; no compile, no device work).
+            try:
+                used = _used_tables(
+                    fn, input_spec(8, levels=levels,
+                                   wind_levels=wind_levels, dtype=dtype),
+                    full_tab_spec, kwargs)
+                big = sorted(used & {'curves', 'lookup'})
+            except Exception:
+                if slim:
+                    raise
+                big = ['<usage probe failed>']
+            if big and slim:
+                raise ValueError(
+                    'slim=True needs a coefficients-only pipeline, but '
+                    f'this one reads the full table arrays {big} (e.g. '
+                    "index_mode='bilinear'/'nearest' or pointwise "
+                    'moist_lapse) — export with slim=False')
+        slim = not big
+
+    if slim:
+        # Embed the coefficients; curves/lookup become 0-size trace-time
+        # placeholders (the probe proved they are never read; only
+        # curves.dtype is consulted, adiabat.py:730).
+        coeffs_host = np.asarray(tables.coeffs)
+        curves_dt = np.dtype(tables.curves.dtype)
+        lookup_dt = np.dtype(tables.lookup.dtype)
+
+        def wrapper(dat, table_arrays):
+            coeffs, = table_arrays
+            tab = adiabat.AdiabatTables(jnp.zeros((0, 0), curves_dt),
+                                        jnp.zeros((0, 0), lookup_dt),
+                                        coeffs)
+            return dict(fn(dat, tables=tab, **kwargs))
+
+        tab_arrays = (coeffs_host,)
+    else:
+        def wrapper(dat, table_arrays):
+            tab = adiabat.AdiabatTables(*table_arrays)
+            return dict(fn(dat, tables=tab, **kwargs))
+
+        tab_arrays = (tables.curves, tables.lookup, tables.coeffs)
 
     if polymorphic:
         batch_dim, = jax.export.symbolic_shape('b')
@@ -175,7 +270,7 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     # host-resident, ~200 MB) table just to read its metadata.
     tab_spec = tuple(
         jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype))
-        for a in (tables.curves, tables.lookup, tables.coeffs))
+        for a in tab_arrays)
     if mesh is not None:
         from .parallel import batch_spec, replicated
         from jax.sharding import NamedSharding
@@ -201,9 +296,9 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         'levels': int(levels),
         'wind_levels': int(levels if wind_levels is None else wind_levels),
         'dtype': np.dtype(dtype).name,
+        'slim': bool(slim),
         'table_dtype': np.dtype(tables.curves.dtype).name,
-        'table_dtypes': [np.dtype(a.dtype).name for a in
-                         (tables.curves, tables.lookup, tables.coeffs)],
+        'table_dtypes': [np.dtype(a.dtype).name for a in tab_arrays],
         'platforms': list(exp.platforms),
         'mesh': None if mesh is None else {
             'axis_names': list(mesh.axis_names),
@@ -211,7 +306,8 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         'kwargs': {k: repr(v) for k, v in kwargs.items()},
         'jax_version': jax.__version__,
     }
-    deployed = Deployed(exp, meta)
+    deployed = Deployed(exp, meta,
+                        embedded=(coeffs_host,) if slim else None)
     if path is not None:
         deployed.save(path)
     return deployed
@@ -225,17 +321,26 @@ class Deployed:
     run chunk-by-chunk; padded rows are sliced off the outputs.
     """
 
-    def __init__(self, exported, meta):
+    def __init__(self, exported, meta, embedded=None):
         self.exported = exported
         self.meta = dict(meta)
+        self._embedded = embedded     # (coeffs,) for slim artifacts
         self._placed = {}             # (id(tables), id(mesh)) -> placement
         self._default_mesh = None
+        if self.meta.get('slim') and embedded is None:
+            raise ValueError('slim artifact without its embedded '
+                             'coefficients — load() it from the zip')
 
     def save(self, path):
-        """Write the artifact (zip of StableHLO blob + JSON metadata)."""
+        """Write the artifact (zip of StableHLO blob + JSON metadata;
+        slim artifacts also carry their embedded coefficient table)."""
         with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as z:
             z.writestr('meta.json', json.dumps(self.meta, indent=1))
             z.writestr('exported.stablehlo', self.exported.serialize())
+            if self._embedded is not None:
+                bio = io.BytesIO()
+                np.savez(bio, coeffs=np.asarray(self._embedded[0]))
+                z.writestr('tables.npz', bio.getvalue())
         return path
 
     def _mesh(self, mesh):
@@ -273,16 +378,33 @@ class Deployed:
         return mesh
 
     def _place_tables(self, tables, mesh):
-        """Device placement of the ~200 MB tables, memoized per
-        (tables, mesh) pair — serving loops must not re-transfer them on
-        every call.  The value tuple pins both keys' referents so a
-        recycled ``id()`` can never alias a dead entry."""
+        """Device placement of the artifact's table arguments (the full
+        ~200 MB tables, or just the embedded coefficients for slim
+        artifacts), memoized per (tables, mesh) pair — serving loops must
+        not re-transfer them on every call.  The value tuple pins both
+        keys' referents so a recycled ``id()`` can never alias a dead
+        entry."""
+        if self.meta.get('slim') and tables is None:
+            tables = self          # the embedded coefficients ARE the key
         key = (id(tables), None if mesh is None else id(mesh))
         memo = self._placed.get(key)
         if memo is not None and memo[0] is tables and memo[1] is mesh:
             return memo[2]
+        if self.meta.get('slim'):
+            if tables is self:
+                raw = (self._embedded[0],)
+            else:
+                c = getattr(tables, 'coeffs', tables)
+                if c is None:
+                    raise ValueError(
+                        'this slim artifact needs spectral coefficients '
+                        'but tables.coeffs is None — pass tables=None to '
+                        'use the embedded ones')
+                raw = (c,)
+        else:
+            raw = (tables.curves, tables.lookup, tables.coeffs)
         arrs = tuple(t if hasattr(t, 'ndim') else np.asarray(t)
-                     for t in (tables.curves, tables.lookup, tables.coeffs))
+                     for t in raw)
         # Coerce each array to its exported dtype (curves/lookup/coeffs can
         # legitimately differ — a downcast table keeps its wider lookup).
         # A no-op when they match; the rare mismatch cast is memoized.
@@ -332,7 +454,11 @@ class Deployed:
             raise ValueError('empty batch (leading dim 0) — nothing to '
                              'serve')
 
-        tables = _tables_or_load(tables, dtype=self.meta.get('table_dtype'))
+        if not self.meta.get('slim'):
+            # Slim artifacts carry their coefficients; only full-table
+            # artifacts auto-load the cache in a fresh serving process.
+            tables = _tables_or_load(tables,
+                                     dtype=self.meta.get('table_dtype'))
         mesh = self._mesh(mesh)
         tab = self._place_tables(tables, mesh)
         if mesh is not None:
@@ -381,7 +507,114 @@ def load(path):
         if meta.get('format') != _FORMAT:
             raise ValueError(f'not a {_FORMAT} artifact: {path}')
         exported = jax.export.deserialize(z.read('exported.stablehlo'))
-    return Deployed(exported, meta)
+        embedded = None
+        if meta.get('slim'):
+            with np.load(io.BytesIO(z.read('tables.npz'))) as d:
+                embedded = (d['coeffs'],)
+    return Deployed(exported, meta, embedded=embedded)
+
+
+def _cli_export(args):
+    slim = {'auto': None, 'true': True, 'false': False}[args.slim]
+    tables = None
+    if args.tables:
+        tables = adiabat.AdiabatTables.load(args.tables)
+    dep = export_pipeline(
+        args.pipeline,
+        batch=None if args.polymorphic else args.batch,
+        levels=args.levels, wind_levels=args.wind_levels,
+        dtype=np.dtype(args.dtype), tables=tables,
+        polymorphic=args.polymorphic,
+        platforms=args.platforms.split(',') if args.platforms else None,
+        slim=slim, path=args.output)
+    import os
+    print(f'wrote {args.output} ({os.path.getsize(args.output):,} bytes, '
+          f"slim={dep.meta['slim']}, platforms={dep.meta['platforms']})")
+    return 0
+
+
+def _cli_serve(args):
+    if args.cache:
+        enable_compilation_cache(args.cache)
+    dep = load(args.artifact)
+    tables = None
+    if args.tables:
+        tables = adiabat.AdiabatTables.load(args.tables)
+    elif not dep.meta.get('slim'):
+        tables = _tables_or_load(None, dtype=dep.meta.get('table_dtype'))
+    with np.load(args.input) as f:
+        dat = {k: f[k] for k in f.files}
+    expected = set(input_spec(1, levels=dep.meta['levels'],
+                              wind_levels=dep.meta['wind_levels']))
+    extra = sorted(set(dat) - expected)
+    missing = sorted(expected - set(dat))
+    if missing:
+        raise SystemExit(f'input {args.input} is missing required '
+                         f'variables: {missing}')
+    if extra:
+        print(f'ignoring {len(extra)} unrecognized variables: {extra}')
+        dat = {k: v for k, v in dat.items() if k in expected}
+    want = np.dtype(dep.meta.get('dtype', 'float32'))
+    dat = {k: v.astype(want, copy=False) if v.dtype.kind == 'f' else v
+           for k, v in dat.items()}
+    out = dep(dat, tables=tables)
+    np.savez(args.output, **{k: np.asarray(v) for k, v in out.items()})
+    b = next(iter(out.values())).shape[0]
+    print(f'wrote {args.output}: {len(out)} variables x {b:,} columns')
+    return 0
+
+
+def _cli_info(args):
+    dep = load(args.artifact)
+    print(json.dumps(dep.meta, indent=1))
+    return 0
+
+
+def main(argv=None):
+    """``python -m xarray_parcel_tpu.deploy`` — export/serve from the
+    command line.  With slim artifacts (the default) the serving side
+    needs only the artifact zip and an ``.npz`` of input columns."""
+    import argparse
+    p = argparse.ArgumentParser(
+        prog='python -m xarray_parcel_tpu.deploy',
+        description='AOT export and file-to-file serving of the '
+                    'convection pipelines.')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    pe = sub.add_parser('export', help='export a pipeline artifact')
+    pe.add_argument('--pipeline', default='conv_properties',
+                    choices=sorted(PIPELINES))
+    pe.add_argument('--batch', type=int, default=1 << 16)
+    pe.add_argument('--levels', type=int, default=90)
+    pe.add_argument('--wind-levels', type=int, default=None)
+    pe.add_argument('--dtype', default='float32')
+    pe.add_argument('--polymorphic', action='store_true')
+    pe.add_argument('--platforms', default=None,
+                    help="comma-separated, e.g. 'cpu,tpu'")
+    pe.add_argument('--slim', default='auto',
+                    choices=('auto', 'true', 'false'))
+    pe.add_argument('--tables', default=None,
+                    help='table .npz (default: the cached build)')
+    pe.add_argument('-o', '--output', required=True)
+    pe.set_defaults(run=_cli_export)
+
+    ps = sub.add_parser('serve', help='run an .npz of columns through an '
+                                      'artifact')
+    ps.add_argument('artifact')
+    ps.add_argument('--input', required=True, help='.npz of input columns')
+    ps.add_argument('-o', '--output', required=True, help='.npz to write')
+    ps.add_argument('--tables', default=None,
+                    help='table .npz (full-table artifacts only)')
+    ps.add_argument('--cache', default=None,
+                    help='persistent compile-cache directory')
+    ps.set_defaults(run=_cli_serve)
+
+    pi = sub.add_parser('info', help='print artifact metadata')
+    pi.add_argument('artifact')
+    pi.set_defaults(run=_cli_info)
+
+    args = p.parse_args(argv)
+    return args.run(args)
 
 
 def enable_compilation_cache(directory, min_compile_time_secs=0.0):
@@ -400,3 +633,7 @@ def enable_compilation_cache(directory, min_compile_time_secs=0.0):
     from jax.experimental.compilation_cache import compilation_cache as _cc
     _cc.reset_cache()
     return str(directory)
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
