@@ -446,6 +446,101 @@ def test_cli_export_serve_info(tables, tmp_path, capsys):
                      '-o', str(outfile)])
 
 
+def test_slim_placeholders_keep_table_shapes(tables):
+    """A custom pipeline that consults tables.lookup/curves SHAPES (but
+    never their data) still auto-slims — and the trace-time placeholders
+    carry the ORIGINAL shapes, so shape-derived outputs are correct
+    rather than silently computed from (0, 0)."""
+    nrows = int(np.shape(tables.lookup)[0])
+
+    def shape_reader(dat, tables=None):
+        out = dict(pipeline.min_conv_properties(dat, tables=tables))
+        out['lookup_rows'] = jnp.full(
+            dat['pressure'].shape[:1], float(tables.lookup.shape[0]),
+            dat['pressure'].dtype)
+        return out
+
+    dep = deploy.export_pipeline(shape_reader, batch=8, levels=24,
+                                 dtype=DTYPE, tables=tables)
+    assert dep.meta['slim'] is True
+    got = dep(make_dat(8, seed=54))
+    np.testing.assert_array_equal(np.asarray(got['lookup_rows']),
+                                  np.full(8, float(nrows)))
+
+
+def test_slim_format_is_v2_full_is_v1(tables, artifact16, tmp_path):
+    """Slim artifacts are written as format v2 so a pre-slim loader
+    fails fast on the format check; full-table artifacts stay v1 (an old
+    loader can still read them)."""
+    _, deployed = artifact16
+    assert deployed.meta['format'] == 'xarray-parcel-tpu-exported-v2'
+    full = deploy.export_pipeline('min_conv_properties', batch=8,
+                                  levels=24, dtype=DTYPE, tables=tables,
+                                  slim=False)
+    assert full.meta['format'] == 'xarray-parcel-tpu-exported-v1'
+
+
+def test_spectral_less_tables_export_full_table(tables, tmp_path):
+    """coeffs=None is a legal AdiabatTables state: auto-slim falls back
+    to a 2-leaf full-table artifact (no AttributeError), slim=True raises
+    the documented message, and the 2-leaf artifact serves."""
+    bare = adiabat.AdiabatTables(tables.curves, tables.lookup, None)
+
+    def lookup_only(dat, tables=None):
+        # bilinear indexing reads curves+lookup, never coeffs — the one
+        # pipeline shape that is meaningful on spectral-less tables.
+        return {'ml': adiabat.moist_lapse(
+            dat['pressure'], dat['temperature'][..., 0], tables=tables,
+            index_mode='bilinear', curve_blend=False)}
+
+    with pytest.raises(ValueError, match='coeffs is None'):
+        deploy.export_pipeline(lookup_only, batch=8, levels=24,
+                               dtype=DTYPE, tables=bare, slim=True)
+    dep = deploy.export_pipeline(lookup_only, batch=8, levels=24,
+                                 dtype=DTYPE, tables=bare,
+                                 path=tmp_path / 'bare.xpz')
+    assert dep.meta['slim'] is False
+    assert len(dep.meta['table_dtypes']) == 2
+    dat = make_dat(8, seed=55)
+    ref = lookup_only(dat, tables=bare)
+    assert_tree_equal(deploy.load(tmp_path / 'bare.xpz')(dat, tables=bare),
+                      ref)
+    # Serving a 3-leaf artifact with coeffs-less tables names the problem.
+    three = deploy.export_pipeline('min_conv_properties', batch=8,
+                                   levels=24, dtype=DTYPE, tables=tables,
+                                   slim=False)
+    with pytest.raises(ValueError, match='coeffs=None'):
+        three(dat, tables=bare)
+
+
+def test_cli_serve_f64_artifact_without_x64(tables, artifact16, tmp_path):
+    """The CLI must serve a float64 artifact from a DEFAULT process (x64
+    off): it reads the artifact dtype and enables x64 itself."""
+    import subprocess
+    import sys
+    path, _ = artifact16
+    dat = make_dat(8, seed=56)
+    infile = tmp_path / 'in.npz'
+    outfile = tmp_path / 'out.results'   # no .npz: exact-name write
+    np.savez(infile, **{k: np.asarray(v) for k, v in dat.items()})
+    child = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"   # NOT x64
+        "from xarray_parcel_tpu import deploy\n"
+        f"raise SystemExit(deploy.main(['serve', {str(path)!r}, "
+        f"'--input', {str(infile)!r}, '-o', {str(outfile)!r}]))\n")
+    proc = subprocess.run([sys.executable, '-c', child], timeout=540,
+                          capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert outfile.exists()              # savez did not append '.npz'
+    got = dict(np.load(outfile))
+    assert got['mixed_100_cape'].dtype == np.float64
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    assert_tree_equal(got, {k: np.asarray(v) for k, v in ref.items()})
+
+
 def test_compilation_cache_fills(tmp_path):
     # conftest.py enables the suite-wide cache — restore BOTH settings
     # afterwards so the rest of the suite keeps its persistent cache.

@@ -54,6 +54,11 @@ import jax.numpy as jnp
 from . import adiabat, pipeline
 
 _FORMAT = 'xarray-parcel-tpu-exported-v1'
+#: Slim artifacts (embedded coefficient table, 1-leaf table argument) are
+#: written as v2 so a pre-slim loader fails fast on the format check
+#: instead of feeding a 3-leaf table tuple to a 1-leaf program.
+_FORMAT_SLIM = 'xarray-parcel-tpu-exported-v2'
+_FORMATS_READ = frozenset({_FORMAT, _FORMAT_SLIM})
 
 def _with_proxies(base):
     def fn(dat, tables=None, **kwargs):
@@ -195,18 +200,20 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                          'compose — export a fixed sharded batch')
     tables = _tables_or_load(tables)
 
-    full_tab_spec = tuple(
-        jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype))
-        for a in (tables.curves, tables.lookup, tables.coeffs))
     if slim is None or slim:
         if getattr(tables, 'coeffs', None) is None:
-            big = ['coeffs is None — rebuild the tables']
+            # coeffs=None is a legal AdiabatTables state (adiabat.py:397);
+            # slim needs them, the full-table export below does not.
             if slim:
                 raise ValueError(
                     'slim=True needs spectral coefficients but '
                     'tables.coeffs is None — rebuild with '
                     'load_moist_adiabat_lookups()')
+            big = ['coeffs is None — rebuild the tables']
         else:
+            full_tab_spec = tuple(
+                jax.ShapeDtypeStruct(np.shape(a), np.dtype(a.dtype))
+                for a in (tables.curves, tables.lookup, tables.coeffs))
             # Eligibility probe at a small concrete batch (table usage is
             # batch-independent; no compile, no device work).
             try:
@@ -228,27 +235,40 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         slim = not big
 
     if slim:
-        # Embed the coefficients; curves/lookup become 0-size trace-time
-        # placeholders (the probe proved they are never read; only
-        # curves.dtype is consulted, adiabat.py:730).
+        # Embed the coefficients.  Curves/lookup become zero-filled
+        # trace-time placeholders at the ORIGINAL shapes/dtypes: the probe
+        # proved their DATA is never read, and full-shape placeholders
+        # keep trace-time shape/dtype consultation (e.g. a custom
+        # pipeline branching on tables.lookup.shape) faithful instead of
+        # silently seeing (0, 0).  Unconsumed, they cost one scalar
+        # broadcast in the StableHLO that XLA dead-code-eliminates.
         coeffs_host = np.asarray(tables.coeffs)
-        curves_dt = np.dtype(tables.curves.dtype)
-        lookup_dt = np.dtype(tables.lookup.dtype)
+        curves_sds = jax.ShapeDtypeStruct(np.shape(tables.curves),
+                                          np.dtype(tables.curves.dtype))
+        lookup_sds = jax.ShapeDtypeStruct(np.shape(tables.lookup),
+                                          np.dtype(tables.lookup.dtype))
 
         def wrapper(dat, table_arrays):
             coeffs, = table_arrays
-            tab = adiabat.AdiabatTables(jnp.zeros((0, 0), curves_dt),
-                                        jnp.zeros((0, 0), lookup_dt),
-                                        coeffs)
+            tab = adiabat.AdiabatTables(
+                jnp.zeros(curves_sds.shape, curves_sds.dtype),
+                jnp.zeros(lookup_sds.shape, lookup_sds.dtype),
+                coeffs)
             return dict(fn(dat, tables=tab, **kwargs))
 
         tab_arrays = (coeffs_host,)
     else:
+        # Full-table artifact: the tables are runtime arguments.  A
+        # spectral-less build (coeffs=None) exports a 2-leaf program.
+        n_tab = 2 if tables.coeffs is None else 3
+
         def wrapper(dat, table_arrays):
-            tab = adiabat.AdiabatTables(*table_arrays)
+            tab = adiabat.AdiabatTables(
+                table_arrays[0], table_arrays[1],
+                table_arrays[2] if len(table_arrays) == 3 else None)
             return dict(fn(dat, tables=tab, **kwargs))
 
-        tab_arrays = (tables.curves, tables.lookup, tables.coeffs)
+        tab_arrays = (tables.curves, tables.lookup, tables.coeffs)[:n_tab]
 
     if polymorphic:
         batch_dim, = jax.export.symbolic_shape('b')
@@ -289,7 +309,7 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     )(dat_spec, tab_spec)
 
     meta = {
-        'format': _FORMAT,
+        'format': _FORMAT_SLIM if slim else _FORMAT,
         'pipeline': fn_name,
         'batch': None if polymorphic else int(batch),
         'polymorphic': bool(polymorphic),
@@ -402,7 +422,15 @@ class Deployed:
                         'use the embedded ones')
                 raw = (c,)
         else:
-            raw = (tables.curves, tables.lookup, tables.coeffs)
+            # Spectral-less exports carry 2 table leaves (coeffs=None).
+            n_tab = len(self.meta.get('table_dtypes') or ()) or 3
+            raw = (tables.curves, tables.lookup, tables.coeffs)[:n_tab]
+            if n_tab == 3 and raw[2] is None:
+                raise ValueError(
+                    'this artifact was exported with spectral '
+                    'coefficients but the serving tables have '
+                    'coeffs=None — rebuild with '
+                    'load_moist_adiabat_lookups()')
         arrs = tuple(t if hasattr(t, 'ndim') else np.asarray(t)
                      for t in raw)
         # Coerce each array to its exported dtype (curves/lookup/coeffs can
@@ -424,6 +452,23 @@ class Deployed:
             tab = tuple(jnp.asarray(a) for a in arrs)
         self._placed[key] = (tables, mesh, tab)
         return tab
+
+    def check_inputs(self, dat):
+        """Split ``dat`` against the exported input contract.
+
+        Returns ``(kept, missing, extra)``: the recognized variables, the
+        required names absent from ``dat``, and the unrecognized names
+        that were dropped.  The single source of truth for input
+        validation on every serving surface (CLI, ``xarray_api.serve``)
+        — callers fail on ``missing`` with a clear message instead of
+        jax.export's treedef mismatch.
+        """
+        expected = set(input_spec(1, levels=self.meta['levels'],
+                                  wind_levels=self.meta['wind_levels']))
+        missing = sorted(expected - set(dat))
+        extra = sorted(set(dat) - expected)
+        kept = {k: v for k, v in dat.items() if k in expected}
+        return kept, missing, extra
 
     @staticmethod
     def _host(out):
@@ -504,7 +549,7 @@ def load(path):
     """Load a :class:`Deployed` artifact written by :meth:`Deployed.save`."""
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read('meta.json'))
-        if meta.get('format') != _FORMAT:
+        if meta.get('format') not in _FORMATS_READ:
             raise ValueError(f'not a {_FORMAT} artifact: {path}')
         exported = jax.export.deserialize(z.read('exported.stablehlo'))
         embedded = None
@@ -516,9 +561,17 @@ def load(path):
 
 def _cli_export(args):
     slim = {'auto': None, 'true': True, 'false': False}[args.slim]
+    if np.dtype(args.dtype).itemsize == 8:
+        # Without x64, JAX canonicalizes f64 to f32 and the export would
+        # silently produce a float32 artifact.
+        jax.config.update('jax_enable_x64', True)
     tables = None
     if args.tables:
         tables = adiabat.AdiabatTables.load(args.tables)
+        if any(np.dtype(a.dtype).itemsize == 8
+               for a in (tables.curves, tables.lookup, tables.coeffs)
+               if a is not None):
+            jax.config.update('jax_enable_x64', True)
     dep = export_pipeline(
         args.pipeline,
         batch=None if args.polymorphic else args.batch,
@@ -537,6 +590,13 @@ def _cli_serve(args):
     if args.cache:
         enable_compilation_cache(args.cache)
     dep = load(args.artifact)
+    if any(np.dtype(d).itemsize == 8 for d in
+           [dep.meta.get('dtype', 'float32')]
+           + list(dep.meta.get('table_dtypes', []))):
+        # A float64 artifact cannot serve with x64 off: JAX would
+        # canonicalize every input to f32 and fail the export-layer
+        # dtype check.
+        jax.config.update('jax_enable_x64', True)
     tables = None
     if args.tables:
         tables = adiabat.AdiabatTables.load(args.tables)
@@ -544,21 +604,20 @@ def _cli_serve(args):
         tables = _tables_or_load(None, dtype=dep.meta.get('table_dtype'))
     with np.load(args.input) as f:
         dat = {k: f[k] for k in f.files}
-    expected = set(input_spec(1, levels=dep.meta['levels'],
-                              wind_levels=dep.meta['wind_levels']))
-    extra = sorted(set(dat) - expected)
-    missing = sorted(expected - set(dat))
+    dat, missing, extra = dep.check_inputs(dat)
     if missing:
         raise SystemExit(f'input {args.input} is missing required '
                          f'variables: {missing}')
     if extra:
         print(f'ignoring {len(extra)} unrecognized variables: {extra}')
-        dat = {k: v for k, v in dat.items() if k in expected}
     want = np.dtype(dep.meta.get('dtype', 'float32'))
     dat = {k: v.astype(want, copy=False) if v.dtype.kind == 'f' else v
            for k, v in dat.items()}
     out = dep(dat, tables=tables)
-    np.savez(args.output, **{k: np.asarray(v) for k, v in out.items()})
+    # Write through a file handle: np.savez on a PATH silently appends
+    # '.npz' when the extension is missing, making the printed name lie.
+    with open(args.output, 'wb') as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
     b = next(iter(out.values())).shape[0]
     print(f'wrote {args.output}: {len(out)} variables x {b:,} columns')
     return 0

@@ -399,14 +399,11 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     # (deploy.input_spec): drop recognized-but-unexported variables
     # (e.g. dewpoint) and fail missing ones with a clear message rather
     # than jax.export's treedef mismatch.
-    expected = set(_deploy.input_spec(1))
-    missing = sorted(expected - set(fields))
+    fields, missing, _extra = artifact.check_inputs(fields)
     if missing:
         raise ValueError(
             f'Dataset is missing variables the artifact requires: '
-            f'{missing} (the exported input contract is '
-            f'{sorted(expected)})')
-    fields = {k: v for k, v in fields.items() if k in expected}
+            f'{missing}')
     nb = len(batch_dims)
     # Per-dim batch sizes: a variable may carry only a subset of the
     # batch dims (e.g. time-invariant surface winds on a time+lat+lon
