@@ -501,6 +501,9 @@ def test_spectral_less_tables_export_full_table(tables, tmp_path):
                                  path=tmp_path / 'bare.xpz')
     assert dep.meta['slim'] is False
     assert len(dep.meta['table_dtypes']) == 2
+    # 2 leaves is NOT the classic 3-leaf table tuple: a pre-slim loader
+    # would feed it 3 leaves, so it must fail that loader's format check.
+    assert dep.meta['format'] == 'xarray-parcel-tpu-exported-v2'
     dat = make_dat(8, seed=55)
     ref = lookup_only(dat, tables=bare)
     assert_tree_equal(deploy.load(tmp_path / 'bare.xpz')(dat, tables=bare),
@@ -539,6 +542,52 @@ def test_cli_serve_f64_artifact_without_x64(tables, artifact16, tmp_path):
     assert got['mixed_100_cape'].dtype == np.float64
     ref = pipeline.min_conv_properties(dat, tables=tables)
     assert_tree_equal(got, {k: np.asarray(v) for k, v in ref.items()})
+
+
+def test_call_rejects_wrong_variable_names(artifact16):
+    """Deployed.__call__ (the lowest serving surface) names missing and
+    unrecognized variables instead of surfacing jax.export's treedef
+    mismatch."""
+    _, deployed = artifact16
+    dat = make_dat(16, seed=57)
+    dat['presure'] = dat.pop('pressure')        # typo: missing + extra
+    with pytest.raises(ValueError, match=r"missing \['pressure'\].*"
+                                         r"unrecognized \['presure'\]"):
+        deployed(dat)
+
+
+def test_cli_export_f64_tables_from_default_process(tables, tmp_path):
+    """`export --dtype float32 --tables f64.npz` from a DEFAULT (x64-off)
+    process must record/embed float64 tables: the raw npz dtypes are
+    sniffed BEFORE AdiabatTables construction (construction with x64 off
+    canonicalizes f64 arrays to f32, so a post-construction check can
+    never fire)."""
+    import subprocess
+    import sys
+    import zipfile
+    import io
+    tabfile = tmp_path / 'tabs_f64.npz'
+    tables.save(tabfile)
+    assert np.asarray(tables.coeffs).dtype == np.float64
+    outfile = tmp_path / 'f64tab.xpz'
+    child = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"   # NOT x64
+        "from xarray_parcel_tpu import deploy\n"
+        f"raise SystemExit(deploy.main(['export', '--pipeline', "
+        f"'min_conv_properties', '--batch', '8', '--levels', '24', "
+        f"'--dtype', 'float32', '--tables', {str(tabfile)!r}, "
+        f"'-o', {str(outfile)!r}]))\n")
+    proc = subprocess.run([sys.executable, '-c', child], timeout=540,
+                          capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with zipfile.ZipFile(outfile) as z:
+        meta = __import__('json').loads(z.read('meta.json'))
+        assert meta['table_dtypes'] == ['float64']      # slim: coeffs only
+        with np.load(io.BytesIO(z.read('tables.npz'))) as d:
+            assert d['coeffs'].dtype == np.float64
 
 
 def test_compilation_cache_fills(tmp_path):

@@ -259,13 +259,12 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
         tab_arrays = (coeffs_host,)
     else:
         # Full-table artifact: the tables are runtime arguments.  A
-        # spectral-less build (coeffs=None) exports a 2-leaf program.
+        # spectral-less build (coeffs=None) exports a 2-leaf program
+        # (AdiabatTables' coeffs argument defaults to None).
         n_tab = 2 if tables.coeffs is None else 3
 
         def wrapper(dat, table_arrays):
-            tab = adiabat.AdiabatTables(
-                table_arrays[0], table_arrays[1],
-                table_arrays[2] if len(table_arrays) == 3 else None)
+            tab = adiabat.AdiabatTables(*table_arrays)
             return dict(fn(dat, tables=tab, **kwargs))
 
         tab_arrays = (tables.curves, tables.lookup, tables.coeffs)[:n_tab]
@@ -309,7 +308,11 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
     )(dat_spec, tab_spec)
 
     meta = {
-        'format': _FORMAT_SLIM if slim else _FORMAT,
+        # v2 = any artifact whose table argument is NOT the classic
+        # 3-leaf tuple (slim's 1 leaf, spectral-less 2 leaves): a
+        # pre-slim loader would feed it 3 leaves and die on an opaque
+        # arity mismatch, so those must fail its format check instead.
+        'format': _FORMAT if len(tab_arrays) == 3 else _FORMAT_SLIM,
         'pipeline': fn_name,
         'batch': None if polymorphic else int(batch),
         'polymorphic': bool(polymorphic),
@@ -487,6 +490,17 @@ class Deployed:
         materialized chunk-by-chunk)."""
         if not dat:
             raise ValueError('empty input dict — nothing to serve')
+        dat, missing, extra = self.check_inputs(dat)
+        if missing or extra:
+            # Fail on NAMES here, the lowest serving surface, so a typo'd
+            # key reads as "missing X / unrecognized Y" rather than
+            # jax.export's opaque treedef mismatch.  Callers that want to
+            # drop extras silently (CLI, xarray_api.serve) pre-filter via
+            # check_inputs.
+            raise ValueError(
+                f'input does not match the exported contract: '
+                f'missing {missing or "nothing"}, '
+                f'unrecognized {extra or "nothing"}')
         bad = sorted(k for k, v in dat.items() if not np.shape(v))
         if bad:
             raise ValueError('inputs must carry a leading batch dim; '
@@ -550,7 +564,10 @@ def load(path):
     with zipfile.ZipFile(path) as z:
         meta = json.loads(z.read('meta.json'))
         if meta.get('format') not in _FORMATS_READ:
-            raise ValueError(f'not a {_FORMAT} artifact: {path}')
+            raise ValueError(
+                f'not an xarray-parcel-tpu exported artifact '
+                f'(readable formats: {sorted(_FORMATS_READ)}, got '
+                f'{meta.get("format")!r}): {path}')
         exported = jax.export.deserialize(z.read('exported.stablehlo'))
         embedded = None
         if meta.get('slim'):
@@ -567,11 +584,15 @@ def _cli_export(args):
         jax.config.update('jax_enable_x64', True)
     tables = None
     if args.tables:
-        tables = adiabat.AdiabatTables.load(args.tables)
-        if any(np.dtype(a.dtype).itemsize == 8
-               for a in (tables.curves, tables.lookup, tables.coeffs)
-               if a is not None):
+        # Sniff the RAW npz dtypes before constructing AdiabatTables:
+        # with x64 still off, construction canonicalizes f64 arrays to
+        # f32, so a post-construction dtype check can never fire.
+        with np.load(args.tables) as f:
+            arrays = {k: np.asarray(f[k]) for k in f.files}
+        if any(a.dtype.itemsize == 8 for a in arrays.values()
+               if a.dtype.kind == 'f'):
             jax.config.update('jax_enable_x64', True)
+        tables = adiabat.AdiabatTables._from_arrays(arrays)
     dep = export_pipeline(
         args.pipeline,
         batch=None if args.polymorphic else args.batch,
