@@ -835,3 +835,110 @@ def test_xr_lite_assign_coords_shares_data():
     ds = xr_lite.Dataset({'v': (('x',), base)})
     out = ds.assign_coords(x=np.arange(4))
     assert out['v'].values is ds['v'].values  # shared, not deep-copied
+
+
+def test_from_dataset_union_batch_dims(dat):
+    """batch_dims is the union of non-vertical dims over ALL selected
+    variables, not the dims of whichever variable happens to come first:
+    a 1-D pressure coordinate-variable next to full-grid temperature must
+    still yield the grid's batch dims (and serve() must broadcast it)."""
+    ds = xr.Dataset(
+        {'pressure': (('model_level_number',),
+                      np.asarray(dat['pressure'].values)[0, 0])} |
+        {k: (dat[k].dims, np.asarray(dat[k].values))
+         for k in dat.data_vars if k != 'pressure'},
+        coords={d: np.asarray(dat.coords[d].values) for d in dat.coords})
+    fields, batch_dims = xarray_api.from_dataset(ds)
+    assert batch_dims == ('latitude', 'longitude')
+    assert fields['pressure'].shape == (40,)
+    assert fields['temperature'].shape == (3, 4, 40)
+
+
+def test_serve_broadcasts_1d_pressure(dat, tmp_path):
+    """End-to-end serve() on the 1-D-pressure Dataset: flat_one broadcasts
+    the (L,) pressure onto the full batch and results equal serving the
+    broadcast grid."""
+    from xarray_parcel_tpu import deploy
+    import jax.numpy as jnp
+    ds = xr.Dataset(
+        {'pressure': (('model_level_number',),
+                      np.asarray(dat['pressure'].values)[0, 0])} |
+        {k: (dat[k].dims, np.asarray(dat[k].values))
+         for k in dat.data_vars if k != 'pressure'},
+        coords={d: np.asarray(dat.coords[d].values) for d in dat.coords})
+    path = tmp_path / 'min40u.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=6, levels=40,
+                           dtype=jnp.float32, path=path)
+    out = xarray_api.serve(ds, path)
+    ref = xarray_api.serve(dat, path)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_serve_f64_artifact_is_not_f32_rounded(dat, tmp_path):
+    """Serving an f64 artifact must compute on f64 inputs end to end: the
+    Dataset lowers at the artifact dtype (the default f32 repack would
+    silently round) and results match the raw-array f64 pipeline at f64
+    tolerance, which f32-rounded inputs cannot."""
+    from xarray_parcel_tpu import adiabat, deploy, pipeline
+    import jax.numpy as jnp
+    tables = adiabat.load_moist_adiabat_lookups()
+    path = tmp_path / 'min40f64.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=12, levels=40,
+                           dtype=jnp.float64, tables=tables, path=path)
+    out = xarray_api.serve(dat, path)
+    raw = {k: np.asarray(dat[k].values, np.float64).reshape(
+               (-1,) + np.asarray(dat[k].values).shape[2:])
+           for k in dat.data_vars}
+    ref = pipeline.min_conv_properties(raw, tables=tables)
+    for k, v in ref.items():
+        a = np.asarray(out[k]).reshape(np.shape(v))
+        b = np.asarray(v)
+        assert a.dtype == b.dtype == np.float64 or a.dtype == bool, k
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def test_serve_f64_artifact_without_x64_raises(dat, tmp_path, monkeypatch):
+    """With x64 off, serving an f64 artifact names the remedy instead of
+    failing jax.export's dtype check (serve() must not flip process-wide
+    dtype semantics itself)."""
+    import jax
+    from xarray_parcel_tpu import adiabat, deploy
+    import jax.numpy as jnp
+    tables = adiabat.load_moist_adiabat_lookups()
+    path = tmp_path / 'min40f64b.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=12, levels=40,
+                           dtype=jnp.float64, tables=tables, path=path)
+    jax.config.update('jax_enable_x64', False)
+    try:
+        with pytest.raises(ValueError, match='jax_enable_x64'):
+            xarray_api.serve(dat, path)
+    finally:
+        jax.config.update('jax_enable_x64', True)
+
+
+def test_storm_proxies_subsets_merged_dataset(dat):
+    """A conv_properties output merged with extra (even level-carrying)
+    variables computes identical proxies — extras must not reach the
+    jitted program (retrace per variable set) or the transpose (an
+    incomplete dim permutation on real xarray).  Missing required inputs
+    raise with their names."""
+    conv = xarray_api.conv_properties(dat)
+    ref = xarray_api.storm_proxies(conv)
+    merged = conv.copy()
+    merged['temperature'] = (dat['temperature'].dims,
+                             np.asarray(dat['temperature'].values))
+    out = xarray_api.storm_proxies(merged)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    slim = xr.Dataset({'mu_cape': (conv['mu_cape'].dims,
+                                   np.asarray(conv['mu_cape'].values))})
+    with pytest.raises(ValueError, match='shear_magnitude'):
+        xarray_api.storm_proxies(slim)

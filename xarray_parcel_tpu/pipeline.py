@@ -292,11 +292,22 @@ def min_conv_properties_fused(dat, tables=None, with_attrs=False,
     return annotate(out) if with_attrs else out
 
 
+#: Exactly the conv_properties output variables storm_proxies reads —
+#: surfaces subset to this so a merged Dataset with extra (even
+#: level-carrying) variables neither retraces nor transposes them.
+STORM_PROXY_INPUTS = (
+    'mu_cape', 'mu_mixing_ratio', 'mixed_100_cape', 'mixed_100_cin',
+    'mixed_100_lifted_index', 'mixed_100_dci', 'mixed_50_cape',
+    'mixed_50_cin', 'lapse_rate_700_500', 'temp_500', 'freezing_level',
+    'shear_magnitude', 'positive_shear')
+
+
 def storm_proxies(dat, with_attrs=False):
     """Literature storm-proxy booleans + SHIP
     (reference: modules/parcel_functions.py:2323-2407).
 
-    ``dat`` is the output of ``conv_properties``.
+    ``dat`` is the output of ``conv_properties`` (the keys read are
+    :data:`STORM_PROXY_INPUTS`).
     """
     s06 = dat['shear_magnitude']
     m100 = jnp.where(dat['mixed_100_cape'] >= 0, dat['mixed_100_cape'],

@@ -253,7 +253,8 @@ def _rename(ds_dict, prefix, keys):
             for k, v in ds_dict.items()}
 
 
-def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
+def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
+                 dtype=np.float32):
     """Lower a Dataset to a dict of arrays (vertical dim trailing).
 
     Returns ``(fields, batch_dims)`` where ``batch_dims`` is the ordered
@@ -278,15 +279,33 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None):
         raise ValueError(
             'Dataset carries none of the recognized variables '
             f'{_LEVEL_VARS + ("surface_wind_u", "surface_wind_v")}')
-    batch_dims = tuple(d for d in dat[names[0]].dims if d != vert_dim)
+    # Batch dims = the union of non-vertical dims over ALL selected
+    # variables, in first-appearance order: deriving them from one
+    # variable alone mis-lays grids where that variable carries fewer
+    # dims than the rest (e.g. a 1-D pressure coordinate-variable next
+    # to (time, lat, lon, level) temperature).
+    batch_dims = []
+    for n in names:
+        batch_dims += [d for d in dat[n].dims
+                       if d != vert_dim and d not in batch_dims]
+    batch_dims = tuple(batch_dims)
 
+    dtype = np.dtype(dtype)
     fields = {}
     for name in names:
         da = dat[name]
         # Every variable is put in the SAME batch-dim order (variables may
         # legally carry differently ordered dims in xarray).
         order = tuple(d for d in batch_dims if d in da.dims)
-        if da.dims == (vert_dim,) + order and da.ndim > 1:
+        if dtype != np.float32:
+            # Dtype-preserving/upcast path (e.g. serving an f64 artifact:
+            # the default f32 repack would silently round its inputs).
+            da = da.transpose(*order, *((vert_dim,) if vert_dim in da.dims
+                                        else ()))
+            v = np.ascontiguousarray(np.asarray(da.values))
+            fields[name] = (v.astype(dtype, copy=False)
+                            if v.dtype.kind == 'f' else v)
+        elif da.dims == (vert_dim,) + order and da.ndim > 1:
             # Native repack: leading level axis -> trailing, f32 (native/).
             fields[name] = native.levels_to_last(np.asarray(da.values))
         else:
@@ -394,16 +413,35 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     from . import deploy as _deploy
     if not isinstance(artifact, _deploy.Deployed):
         artifact = _deploy.load(artifact)
-    fields, batch_dims = from_dataset(dat, vert_dim=vert_dim)
+    want = np.dtype(artifact.meta.get('dtype', 'float32'))
+    if want.itemsize == 8 and not jax.config.jax_enable_x64:
+        # With x64 off, JAX canonicalizes every f64 input to f32 and the
+        # export-layer dtype check fails; enabling x64 here would change
+        # dtype semantics process-wide behind the caller's back, so name
+        # the remedy instead (the deploy CLI, a self-contained process,
+        # does enable it itself).
+        raise ValueError(
+            'this artifact was exported at float64 but jax_enable_x64 '
+            'is off — jax.config.update("jax_enable_x64", True) before '
+            'serving, or serve via `python -m xarray_parcel_tpu.deploy '
+            'serve`, which enables it itself')
     # The artifact's input pytree is the fixed pipeline contract
-    # (deploy.input_spec): drop recognized-but-unexported variables
-    # (e.g. dewpoint) and fail missing ones with a clear message rather
-    # than jax.export's treedef mismatch.
-    fields, missing, _extra = artifact.check_inputs(fields)
+    # (deploy.input_spec): select exactly the exported variables BEFORE
+    # lowering (no wasted full-grid repack of recognized-but-unexported
+    # ones like dewpoint) and fail missing ones with a clear message
+    # rather than jax.export's treedef mismatch.
+    kept, missing, _extra = artifact.check_inputs(
+        dict.fromkeys(getattr(dat, 'data_vars', dat)))
     if missing:
         raise ValueError(
             f'Dataset is missing variables the artifact requires: '
             f'{missing}')
+    names = [v for v in _LEVEL_VARS + ('surface_wind_u', 'surface_wind_v')
+             if v in kept]
+    # Lower at the artifact's dtype: the default f32 repack would
+    # silently round the inputs of an f64-exported artifact.
+    fields, batch_dims = from_dataset(dat, vert_dim=vert_dim,
+                                      variables=names, dtype=want)
     nb = len(batch_dims)
     # Per-dim batch sizes: a variable may carry only a subset of the
     # batch dims (e.g. time-invariant surface winds on a time+lat+lon
@@ -411,14 +449,10 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     sizes = {}
     for name in fields:
         da = dat[name]
-        for d, s in zip(da.dims, np.shape(da.values)):
+        for d, s in zip(da.dims, da.shape):
             if d != vert_dim:
                 sizes[d] = int(s)
     batch_shape = tuple(sizes[d] for d in batch_dims)
-    # from_dataset repacks to f32; match the artifact's exported dtype
-    # (a lossless upcast for f64 artifacts) instead of failing the
-    # export-layer signature check.
-    want = np.dtype(artifact.meta.get('dtype', 'float32'))
 
     def flat_one(name, v):
         v = np.asarray(v)
@@ -435,6 +469,10 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     # recorded table dtype in a fresh serving process (deploy.py), which
     # this process's own default tables need not match.
     out = artifact(flat, tables=tables, mesh=mesh)
+    # Materialize through Deployed's host gatherer: the exact-fit path
+    # returns device arrays that span non-addressable devices under
+    # multi-process SPMD serving, where a raw np.asarray would raise.
+    out = artifact._host(out)
     out = {k: np.asarray(v).reshape(batch_shape + np.shape(v)[1:])
            for k, v in out.items()}
     coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
@@ -444,11 +482,20 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
     """Storm proxies from a conv_properties Dataset
     (reference: modules/parcel_functions.py:2323-2407)."""
-    das = [conv[k] for k in conv.data_vars]
+    needed = _pipeline.STORM_PROXY_INPUTS
+    missing = [k for k in needed if k not in conv.data_vars]
+    if missing:
+        raise ValueError('storm_proxies needs the conv_properties output '
+                         f'variables {missing}')
+    # Subset to exactly the variables the proxies read: a merged Dataset
+    # may carry extra (even level-carrying) variables, which must neither
+    # force a retrace per distinct variable set nor hit transpose with an
+    # incomplete dim permutation.
+    das = [conv[k] for k in needed]
     batch_dims = _batch_dims_of(das, vert_dim)
     # Normalize every variable to the shared dim order — merged Datasets
     # may legally carry permuted dims per variable.
-    fields = {k: _lower(conv[k], None, batch_dims) for k in conv.data_vars}
+    fields = {k: _lower(conv[k], None, batch_dims) for k in needed}
     out = _jitted(_pipeline.storm_proxies)(fields)
     coords = {d: conv.coords[d] for d in batch_dims if d in conv.coords}
     return to_dataset(out, batch_dims, coords=coords)
