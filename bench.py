@@ -209,8 +209,10 @@ def main():
     # throughput is flat in batch (linear scaling), so a bigger batch only
     # thins the tunnel's ~28 ms dispatch floor — 786k compiles cleanly and
     # measured 3.08e6 vs 2.98e6 at 2^19 (pipeline_attrition_ab_v5e_r5);
-    # 2^20 sends XLA's scheduler into a minutes-long memory-pressure
-    # compile on this 16 GB chip.
+    # 917k (7*2^17) also compiles but is rate-neutral (+0.5%, within
+    # noise — megabatch3_ab_v5e_r8: the per-column time stops improving
+    # before the floor amortisation predicts); 2^20 sends XLA's scheduler
+    # into a minutes-long memory-pressure compile on this 16 GB chip.
     B_pipe = (1 << 19) + (1 << 18)
     dat = {k: jnp.asarray(v) for k, v in synthetic(B_pipe).items()}
 
