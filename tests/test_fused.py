@@ -274,3 +274,75 @@ def test_vmem_oom_retry_self_heals(tables, monkeypatch):
     np.testing.assert_allclose(np.asarray(res2['cape']),
                                np.asarray(res['cape']), atol=0,
                                equal_nan=True)
+
+
+def test_fused_batched_parcels_over_shared_column(tables):
+    # A shared 1-D environment column with BATCHED parcel scalars is legal
+    # in cape.cape_cin (the batch shape broadcasts from the parcels); the
+    # fused drop-in must accept it identically.
+    p, t, td = _grid(B=1)
+    p1, t1, td1 = p[0], t[0], td[0]
+    pt = jnp.asarray([float(t1[0]) + 0.5, float(t1[0]) + 1.5,
+                      float(t1[0]) + 3.0])
+    kw = dict(parcel_pressure=jnp.full((3,), p1[0]),
+              parcel_temperature=pt,
+              parcel_dewpoint=jnp.full((3,), td1[0]), tables=tables)
+    res_f, _ = fused.fused_cape_cin(p1, t1, td1, **kw)
+    res_u, _ = cape.cape_cin(p1, t1, td1, **kw)
+    assert res_f['cape'].shape == (3,)
+    np.testing.assert_allclose(np.asarray(res_f['cape']),
+                               np.asarray(res_u['cape']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f['cin']),
+                               np.asarray(res_u['cin']), atol=1e-6)
+
+
+def test_vmem_retry_does_not_eat_trace_errors():
+    # Client-side trace errors (shape/dtype bugs) are deterministic: they
+    # must surface immediately, not burn retries at halved TB (each a
+    # 25-110 s remote compile on the tunnel) nor throttle the config.
+    calls = []
+
+    def run(tb):
+        calls.append(tb)
+        raise ValueError('shape mismatch (simulated trace error)')
+
+    key = ('trace-error-test',)
+    fused._TB_GOOD.pop(key, None)
+    with pytest.raises(ValueError):
+        fused._run_with_vmem_retry(run, 256, key)
+    assert calls == [256]
+    assert key not in fused._TB_GOOD
+
+
+def test_vmem_retry_exhaustion_does_not_throttle_config():
+    # If halving never helps, the final error surfaces and the config is
+    # NOT left pinned at TB=8 (the failure was never VMEM).
+    key = ('exhaustion-test',)
+    fused._TB_GOOD.pop(key, None)
+
+    def run(tb):
+        raise RuntimeError('boom (simulated persistent runtime fault)')
+
+    with pytest.warns(UserWarning, match='retrying at TB='):
+        with pytest.raises(RuntimeError):
+            fused._run_with_vmem_retry(run, 32, key)
+    assert key not in fused._TB_GOOD
+
+
+def test_vmem_retry_survivor_replaces_larger_recorded_cap():
+    # A previously-good TB that now fails must be REPLACED by the smaller
+    # survivor, not kept via a max() over stale history.
+    key = ('survivor-test',)
+    fused._TB_GOOD[key] = 256
+
+    def run(tb):
+        if tb > 64:
+            raise RuntimeError('MOSAIC: VMEM OOM (simulated)')
+        return 'ok'
+
+    try:
+        with pytest.warns(UserWarning, match='retrying at TB='):
+            assert fused._run_with_vmem_retry(run, 256, key) == 'ok'
+        assert fused._TB_GOOD[key] == 64
+    finally:
+        fused._TB_GOOD.pop(key, None)

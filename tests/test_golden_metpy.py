@@ -817,6 +817,36 @@ def test_mixed_layer_value_nan_at_valid_pressure_bridges_per_variable():
     assert_almost_equal(f(mixed['w']), expect_w, 10)
 
 
+def test_mixed_layer_bottom_value_nan_divides_by_observed_span():
+    # A NaN *value* at the BOTTOM level (valid pressure): the integral only
+    # covers [first valid level, layer top], so the mean-value denominator
+    # is that observed span — dividing by the full requested depth would
+    # bias the mixed value low by the missing fraction.  Hand-computed
+    # dropna-then-trapz (the serial oracle's span convention: the span of
+    # the points actually used).
+    p = jnp.asarray([1000.0, 950.0, 900.0, 850.0, 800.0])
+    v = np.array([np.nan, 10.0, 20.0, 30.0, 40.0])
+    mixed = api.mixed_layer({'pressure': p, 'v': jnp.asarray(v)},
+                            depth=100.0)         # top = 900, a valid level
+    expect = (0.5 * (10.0 + 20.0) * 50.0) / 50.0
+    assert_almost_equal(f(mixed['v']), expect, 10)
+    # Shared-mask mode (the pipeline's path) must agree.
+    from xarray_parcel_tpu.parcels import mixed_layer as _ml
+    from xarray_parcel_tpu.ops import notnan as _notnan
+    shared = _ml({'pressure': p, 'v': jnp.asarray(v)}, depth=100.0,
+                 valid=_notnan(jnp.asarray(v)))
+    assert_almost_equal(f(shared['v']), expect, 10)
+
+
+def test_mixed_layer_single_valid_level_is_nan():
+    # One valid in-layer level and no interpolable top: a single point has
+    # no span to average over -> NaN, never a silently biased value.
+    p = jnp.asarray([1000.0, 950.0])
+    v = jnp.asarray([jnp.nan, 10.0])
+    mixed = api.mixed_layer({'pressure': p, 'v': v}, depth=100.0)
+    assert np.isnan(f(mixed['v']))
+
+
 def test_mixed_layer_cape_cin():
     levels, temps, dews = multiple_intersections()
     res, _, _ = api.mixed_layer_cape_cin(levels, temps, dews, **MP)

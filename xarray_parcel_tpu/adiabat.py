@@ -665,6 +665,25 @@ def _interp_curve(tables, fidx, pressure, curve_blend=True):
     return tables.curves[idx, i0] * (1.0 - t) + tables.curves[idx, i0 + 1] * t
 
 
+def blend_coeff_rows(tables, fidx):
+    """Blend the two spectral coefficient rows bracketing fractional curve
+    index ``fidx`` (…,) into one (…, K) row per column — one contiguous
+    row-pair gather, zero per-level gathers.
+
+    NaN ``fidx`` (invalid parcel) yields an all-NaN row; the arithmetic
+    itself runs on a zeroed safe index so no NaN enters a product (the
+    where-NaN gradient trap).  The single source of truth for the blend:
+    both ``moist_lapse``'s spectral branch and the fused kernel's XLA
+    pre-pass (fused.py) call this.
+    """
+    nan = jnp.isnan(fidx)
+    safe = jnp.where(nan, 0.0, fidx)
+    c0 = jnp.clip(jnp.floor(safe), 0, N_CURVES - 2).astype(jnp.int32)
+    a = jnp.clip(safe - c0, 0.0, 1.0)[..., None]
+    row = tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a
+    return jnp.where(nan[..., None], jnp.nan, row)
+
+
 def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
                 tables=None, bilinear=True, curve_blend=True,
                 index_mode=None, pointwise=None):
@@ -733,12 +752,7 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     spectral = (curve_blend and not pointwise
                 and getattr(tables, 'coeffs', None) is not None)
     if spectral:
-        # Blend the two bracketing coefficient rows, evaluate via Clenshaw:
-        # one contiguous row-pair gather per column, zero per-level gathers.
-        c0 = jnp.clip(jnp.floor(fidx), 0, N_CURVES - 2).astype(jnp.int32)
-        a = jnp.clip(fidx - c0, 0.0, 1.0)[..., None]
-        row = (tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a)
-        out = _eval_spectral(row, safe_p)
+        out = _eval_spectral(blend_coeff_rows(tables, fidx), safe_p)
     elif pointwise:
         out = _interp_curve(tables, fidx[..., None], safe_p[..., None],
                             curve_blend=curve_blend)[..., 0]

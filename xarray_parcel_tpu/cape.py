@@ -190,7 +190,7 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
 
     areas, gap_mask = trap_around_zeros(p, diff, log_x=True, start=0,
                                         intersections=intersections,
-                                        log_x_values=log_pressure, axis=axis)
+                                        log_x_values=log_p, axis=axis)
     area_x = areas['x']                        # log-pressure positions
     area = areas['area']
 

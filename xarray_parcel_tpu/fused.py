@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import adiabat, thermo
 from . import constants as c
-from .adiabat import N_CURVES, P_BOT, P_TOP, _eval_spectral
+from .adiabat import P_BOT, P_TOP, _eval_spectral
 from .cape import cape_cin_base, lfc_el
 from .lcl import lcl
 import math
@@ -385,6 +385,38 @@ def _diff_core(TB, L, K, interpret, with_lifted_index, with_profile,
     return core
 
 
+def _run_with_vmem_retry(run, TB, cfg):
+    """Run ``run(TB)``, halving TB on a presumed-VMEM Mosaic failure.
+
+    A remote Mosaic VMEM overflow is an opaque runtime error (over the axon
+    tunnel: an HTTP 500 surfaced as ``XlaRuntimeError``), so only
+    runtime-class exceptions trigger the retry — client-side trace errors
+    (TypeError/ValueError: shape or dtype bugs) surface immediately instead
+    of burning up to ~6 remote compiles at 25-110 s each.  The surviving TB
+    is recorded in ``_TB_GOOD`` only on success, so an exhausted retry (or
+    an unrelated runtime fault at TB=8) never permanently throttles the
+    config.
+    """
+    import warnings
+    failed = False
+    while True:
+        try:
+            outs = run(TB)
+            # After a failure the survivor REPLACES any larger recorded
+            # value (it is the new known-good cap); a clean first try only
+            # ever raises the cap.
+            _TB_GOOD[cfg] = TB if failed else max(TB, _TB_GOOD.get(cfg, TB))
+            return outs
+        except (RuntimeError, OSError) as e:        # Mosaic OOM/HTTP 500
+            if TB <= 8:
+                raise
+            failed = True
+            warnings.warn(
+                f'fused kernel failed to compile/run at TB={TB} '
+                f'({type(e).__name__}); retrying at TB={TB // 2}')
+            TB //= 2
+
+
 def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
                    parcel_temperature=None, parcel_dewpoint=None,
                    tables=None, block_columns=256, interpret=None,
@@ -410,11 +442,17 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     p = jnp.asarray(pressure)
     t = jnp.asarray(temperature)
     td = jnp.asarray(dewpoint)
-    # Batch shape from ALL three inputs (a shared 1-D pressure vector with
-    # batched temperature/dewpoint is legal, as in cape.cape_cin).
-    full = jnp.broadcast_shapes(p.shape, t.shape, td.shape)
-    batch_shape = full[:-1]
-    L = full[-1]
+    # Batch shape from ALL inputs — environment columns AND parcel scalars
+    # (a shared 1-D column with batched parcels is legal, as in
+    # cape.cape_cin, and so is the reverse).
+    env = jnp.broadcast_shapes(p.shape, t.shape, td.shape)
+    batch_shape = jnp.broadcast_shapes(
+        env[:-1], *(jnp.shape(x) for x in (parcel_pressure,
+                                           parcel_temperature,
+                                           parcel_dewpoint)
+                    if x is not None))
+    L = env[-1]
+    full = batch_shape + (L,)
     p = jnp.broadcast_to(p, full).reshape((-1, L))
     t = jnp.broadcast_to(t, full).reshape((-1, L))
     td = jnp.broadcast_to(td, full).reshape((-1, L))
@@ -439,11 +477,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
             'tables.coeffs is None — rebuild the tables with '
             'AdiabatTables.build() or load_moist_adiabat_lookups()')
     fidx = adiabat.curve_index_integrate(lcl_p, lcls['lcl_temperature'])
-    c0 = jnp.clip(jnp.floor(jnp.where(jnp.isnan(fidx), 0.0, fidx)), 0,
-                  N_CURVES - 2).astype(jnp.int32)
-    a = jnp.clip(fidx - c0, 0.0, 1.0)[..., None]
-    row = tables.coeffs[c0] * (1.0 - a) + tables.coeffs[c0 + 1] * a
-    row = jnp.where(jnp.isnan(fidx)[..., None], jnp.nan, row)
+    row = adiabat.blend_coeff_rows(tables, fidx)
     # The kernel computes in the input dtype; wider tables (e.g. f64 test
     # tables against f32 data) must not promote values past the output refs.
     row = row.astype(p.dtype)
@@ -508,20 +542,7 @@ def fused_cape_cin(pressure, temperature, dewpoint, parcel_pressure=None,
     if interpret or not concrete:
         outs = run(TB)
     else:
-        while True:
-            try:
-                outs = run(TB)
-                _TB_GOOD[cfg] = max(TB, _TB_GOOD.get(cfg, TB))
-                break
-            except Exception as e:                  # Mosaic OOM/HTTP 500
-                if TB <= 8:
-                    raise
-                import warnings
-                warnings.warn(
-                    f'fused kernel failed to compile/run at TB={TB} '
-                    f'({type(e).__name__}); retrying at TB={TB // 2}')
-                TB //= 2
-                _TB_GOOD[cfg] = TB
+        outs = _run_with_vmem_retry(run, TB, cfg)
 
     if layout == 'columns':
         shape = lambda x: x[0, :B].reshape(batch_shape)

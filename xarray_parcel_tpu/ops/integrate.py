@@ -102,11 +102,23 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
     xs = x[..., start:] if start else x
     ys = y[..., start:] if start else y
 
+    if log_x:
+        if log_x_values is not None:
+            xl = log_x_values[..., start:] if start else log_x_values
+        else:
+            xl = safe_log(xs)
+    else:
+        xl = xs
+
     if intersections is not None:
         assert start == 0, 'precomputed intersections require start=0'
         ints = intersections
     else:
+        # Thread the already-computed log(x) through — Mosaic does not CSE,
+        # so a duplicated per-level safe_log inside the fused kernel (and a
+        # fatter trace everywhere else) would be real work.
         ints = find_intersections(xs, ys, jnp.zeros_like(ys), log_x=log_x,
+                                  log_x_values=xl if log_x else None,
                                   axis=axis)
     if log_x:
         zx = ints.get('all_logx')
@@ -115,14 +127,6 @@ def trap_around_zeros(x, y, log_x=True, start=0, intersections=None,
     else:
         zx = ints['all_x']
     crossing = notnan(ints['all_x'])
-
-    if log_x:
-        if log_x_values is not None:
-            xl = log_x_values[..., start:] if start else log_x_values
-        else:
-            xl = safe_log(xs)
-    else:
-        xl = xs
 
     # Safe crossing positions for the arithmetic below: NaN positions
     # (no crossing / poisoned gaps / NaN-padded levels) would otherwise leak

@@ -140,13 +140,18 @@ def mixed_layer(fields, depth=100.0, valid=None, neighbors=None):
         b_ok = any_k & notnan(ft)
         b_area = (0.5 * (f_k + jnp.where(b_ok, ft, 0.0))
                   * jnp.abs(p_k - safe_top))
-        # Mean-value denominator: the full requested depth when the top is
-        # interpolable; otherwise the ACTUAL available span bottom -> last
-        # valid in-layer level (the reference divides by the retrieved
-        # layer's span, :157-162 — a column shallower than ``depth``
-        # averages over what exists rather than biasing low).  No valid
-        # in-layer level at all -> NaN, never a silent 0.
-        span = jnp.where(b_ok, depth, safe_bottom - p_k)
+        # Mean-value denominator: the span the integral ACTUALLY covers —
+        # first valid in-layer level down to the interpolated top (= the
+        # requested depth when the bottom level itself is valid), else to
+        # the last valid in-layer level (the reference divides by the
+        # retrieved layer's span, :157-162 — a column whose bottom levels
+        # are missing averages over what exists rather than biasing low).
+        # No valid in-layer level at all -> NaN, never a silent 0.
+        p_first = jnp.max(p_own, axis=-1)    # 0 when nothing valid in-layer
+        span = jnp.where(b_ok,
+                         jnp.where(p_first == safe_bottom, depth,
+                                   p_first - safe_top),
+                         p_first - p_k)
         inv = jnp.where(any_k & (span > 0), 1.0 / jnp.where(span > 0, span,
                                                             1.0), jnp.nan)
         out[k] = (inner + jnp.where(b_ok, b_area, 0.0)) * inv
