@@ -440,8 +440,22 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def _stored_dtype(path):
-    with np.load(path) as f:
-        return f['curves'].dtype
+    """Dtype of the cached curves array from the .npy header alone — no
+    decompression of the ~100 MB member (NpzFile.__getitem__ would
+    materialise it).  None when the file is unreadable/not a table cache."""
+    import zipfile
+
+    from numpy.lib import format as npformat
+    try:
+        with zipfile.ZipFile(path) as z, z.open('curves.npy') as f:
+            version = npformat.read_magic(f)
+            if version == (1, 0):
+                _, _, dtype = npformat.read_array_header_1_0(f)
+            else:
+                _, _, dtype = npformat.read_array_header_2_0(f)
+            return dtype
+    except (KeyError, OSError, ValueError, zipfile.BadZipFile):
+        return None
 
 
 def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
@@ -495,13 +509,16 @@ def load_moist_adiabat_lookups(cache_path=None, regenerate=False,
         for cand in candidates:
             if not os.path.exists(cand):
                 continue
-            # One decompression per candidate: dtype check, staleness
-            # check and table construction all share the same arrays.
+            # Cheap header-only dtype check BEFORE decompressing ~275 MB:
+            # an insufficient-precision candidate is skipped without
+            # materialising its arrays.
+            stored = _stored_dtype(cand)
+            if stored is None or stored.itemsize < desired.itemsize:
+                continue
+            # One decompression per accepted candidate: staleness check
+            # and table construction share the same arrays.
             with np.load(cand) as f:
                 arrays = {k: np.asarray(f[k]) for k in f.files}
-            stored = arrays['curves'].dtype
-            if stored.itemsize < desired.itemsize:
-                continue
             stale_coeffs = ('coeffs' not in arrays or
                             arrays['coeffs'].shape[-1] != N_COEF)
             _DEFAULT_TABLES = AdiabatTables._from_arrays(arrays,

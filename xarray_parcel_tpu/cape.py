@@ -58,9 +58,6 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     lcl_p = jnp.asarray(lcl_pressure)
     lcl_t = jnp.asarray(lcl_temperature)
 
-    ints = (intersections if intersections is not None else
-            find_intersections(p, pt, t, log_x=True, axis=axis))
-
     if intersections_in_log:
         # Work entirely in log-pressure: log is monotone, so every order
         # comparison below is unchanged; outputs are exp'd at the end.
@@ -72,6 +69,16 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
                 if log_lcl_pressure is not None else safe_log(lcl_p))
     else:
         pw, lclw = p, lcl_p
+
+    # A self-built crossing set must live in the SAME space as the window
+    # comparisons below: with ``intersections_in_log`` every crossing x is
+    # compared against log-pressure scalars, so the set is built with
+    # ``log_outputs=True`` (a linear-x set here would silently cross units).
+    ints = (intersections if intersections is not None else
+            find_intersections(
+                p, pt, t, log_x=True,
+                log_x_values=pw if intersections_in_log else None,
+                log_outputs=intersections_in_log, axis=axis))
 
     # Crossing set ignoring the first level: identical except gap 0 is
     # unavailable (reference recomputes on a slice and reindexes :1107-1112).
@@ -96,7 +103,16 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
                                      axis_index(axis, p.ndim)) == k0
     t0 = nanmax(t, where=at_k0, axis=axis)
     pt0 = nanmax(pt, where=at_k0, axis=axis)
-    same_first = ex(t0 == pt0)
+    # Ulp-scaled equality (the reference compares exactly, :1117-1120): the
+    # fused path computes the parcel's first-level track partly in the XLA
+    # pre-pass while the environment's comes from in-kernel Mosaic ops, so
+    # "the same value" can differ by a few ulps between the two compilers.
+    # 8 ulps is ~3e-4 K in fp32 production and ~5e-13 K in the f64 test
+    # mode (i.e. effectively the reference's exact equality there); NaN
+    # first levels compare unequal either way.
+    tol = (8.0 * jnp.finfo(t.dtype).eps
+           * jnp.maximum(jnp.abs(t0), jnp.abs(pt0)))
+    same_first = ex(jnp.abs(t0 - pt0) <= tol)
     drop_inc = gap0 & same_first
     inc_x = jnp.where(drop_inc, jnp.nan, ints['increasing_x'])
     inc_y = jnp.where(drop_inc, jnp.nan, ints['increasing_y'])

@@ -115,9 +115,15 @@ def compact_left(fields, key):
 
     Vacated trailing slots are NaN.  Equivalent to the reference's
     ``shift_out_nans`` loop (reference: modules/parcel_functions.py:1699-1720)
-    without the O(L) whole-array passes.
+    without the O(L) whole-array passes.  Non-float fields are promoted to
+    float32 so the NaN fill is representable (xarray's ``shift`` promotes
+    the same way; a 0-padded int would be indistinguishable from data —
+    matches the host-side ``native.compact_left``).
     """
     fields = _broadcast_fields(fields)
+    fields = {k: (v if jnp.issubdtype(v.dtype, jnp.floating)
+                  else v.astype(jnp.float32))
+              for k, v in fields.items()}
     v = fields[key]
     L = v.shape[-1]
     valid = notnan(v)
@@ -161,7 +167,9 @@ def get_layer(fields, depth=100.0, interpolate=True, coord='pressure'):
         top = bottom - depth
         # One shared anchor computation for every field (the anchor search
         # is ~8 masked reductions and dominates an interpolation's cost).
-        level = interp_many(fields, p, top, log=True)
+        # The coord itself is not interpolated — its level value IS ``top``.
+        level = interp_many({k: v for k, v in fields.items() if k != coord},
+                            p, top, log=True)
         level[coord] = top
         fields = insert_level(fields, level, coord=coord)
     else:

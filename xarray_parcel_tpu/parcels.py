@@ -180,7 +180,12 @@ def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
     shared whole-level-validity mode — one scan pair, reusable across
     depths."""
     pressure = jnp.asarray(pressure)
-    parcel_start_pressure = pressure[..., 0]
+    # First VALID pressure, not slot 0: columns may carry a leading-NaN
+    # prefix (this framework's first-valid-index contract; the reference
+    # anchors at isel(0), :250, because its inputs are pre-compacted).
+    # Pressures sort decreasing, so the first valid level is nanmax —
+    # consistent with mixed_layer's ``bottom`` and mix_layer's keep mask.
+    parcel_start_pressure = nanmax(pressure)
 
     valid = (notnan(pressure) & notnan(temperature) &
              notnan(dewpoint))
