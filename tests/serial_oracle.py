@@ -283,7 +283,7 @@ def linear_interp_point(x, coords, at):
     return xb + (xa - xb) * (at - cb) / (ca - cb)
 
 
-def most_unstable_index(p, t, td, depth=250.0):
+def most_unstable_index(p, t, td, depth=300.0):
     """Index of the max-theta-e level in the surface-based layer (ties take
     the lowest level; non-interpolated layer top snaps to the nearest
     level, ties to larger pressure — reference :102-135, :208-227)."""
@@ -297,14 +297,16 @@ def most_unstable_index(p, t, td, depth=250.0):
     return int(np.argmax(cands))      # first True = largest pressure
 
 
-def most_unstable_cape_cin_column(p, t, td, depth=250.0):
+def most_unstable_cape_cin_column(p, t, td, depth=300.0,
+                                  virtual_temperature_correction=True):
     """Serial most-unstable CAPE/CIN: subset the column at/above the
     max-theta-e parcel, launch from it (reference :1517-1602)."""
     p = np.asarray(p, float)
     t = np.asarray(t, float)
     td = np.asarray(td, float)
     k = most_unstable_index(p, t, td, depth=depth)
-    res = cape_cin_column(p[k:], t[k:], td[k:], p[k], t[k], td[k])
+    res = cape_cin_column(p[k:], t[k:], td[k:], p[k], t[k], td[k],
+                          virtual_temperature_correction)
     res['parcel_pressure'] = p[k]
     res['parcel_dewpoint'] = td[k]
     return res
@@ -340,7 +342,8 @@ def mixed_parcel_column(p, t, td, depth=100.0):
     return p0, temp, dewpoint_from_e(vap)
 
 
-def mixed_layer_cape_cin_column(p, t, td, depth=100.0):
+def mixed_layer_cape_cin_column(p, t, td, depth=100.0,
+                                virtual_temperature_correction=True):
     """Serial mixed-layer CAPE/CIN: the mixed parcel replaces the lowest
     ``depth`` hPa as the new bottom level (reference :1604-1697)."""
     p = np.asarray(p, float)
@@ -351,7 +354,8 @@ def mixed_layer_cape_cin_column(p, t, td, depth=100.0):
     pp = np.concatenate([[p0], p[keep]])
     tt = np.concatenate([[mt], t[keep]])
     tdd = np.concatenate([[mtd], td[keep]])
-    res = cape_cin_column(pp, tt, tdd, p0, mt, mtd)
+    res = cape_cin_column(pp, tt, tdd, p0, mt, mtd,
+                          virtual_temperature_correction)
     res['parcel_pressure'] = p0
     res['parcel_dewpoint'] = mtd
     return res

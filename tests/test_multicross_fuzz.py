@@ -136,6 +136,68 @@ def test_multicross_lfc_el_and_areas(fuzz_set):
             f'col {i} cin: {cin_v[i]} vs {s["cin"]}'
 
 
+def _variant_vs_serial(fuzz_set, vector_fn, oracle_fn):
+    """Run a parcel variant on the zigzag set, filtering per column on the
+    ORACLE's own crossing separation (the variant's parcel shifts the
+    crossings, so the fixture-level filter does not transfer)."""
+    cols, _ = fuzz_set
+    p = np.stack([c[0] for c in cols])
+    t = np.stack([c[1] for c in cols])
+    td = np.stack([c[2] for c in cols])
+
+    res, prof, _ = jax.jit(lambda *a: vector_fn(
+        *a, virtual_temperature_correction=False,
+        moist_lapse=adiabat.moist_lapse_integrate))(
+            jnp.asarray(p), jnp.asarray(t), jnp.asarray(td))
+    cape_v = np.asarray(res['cape'])
+    cin_v = np.asarray(res['cin'])
+    lfc_v = np.asarray(prof['lfc_pressure'])
+    el_v = np.asarray(prof['el_pressure'])
+
+    compared = 0
+    for i in range(len(cols)):
+        s = oracle_fn(p[i], t[i], td[i],
+                      virtual_temperature_correction=False)
+        _, _, gap = _crossing_stats(s)
+        if gap < 8.0:
+            continue        # near-coincident crossings: branch is ill-posed
+        compared += 1
+        for name, v, sv in (('lfc', lfc_v[i], s['lfc']),
+                            ('el', el_v[i], s['el'])):
+            if np.isnan(sv):
+                assert np.isnan(v), f'col {i} {name}: {v} vs serial NaN'
+            else:
+                assert abs(v - sv) < 1.0, f'col {i} {name}: {v} vs {sv}'
+        assert abs(cape_v[i] - s['cape']) < 1.5, \
+            f'col {i} cape: {cape_v[i]} vs {s["cape"]}'
+        assert abs(cin_v[i] - s['cin']) < 1.5, \
+            f'col {i} cin: {cin_v[i]} vs {s["cin"]}'
+    # The filter must not hollow the test out.
+    assert compared >= 16, f'only {compared} of {len(cols)} comparable'
+
+
+def test_multicross_most_unstable_vs_serial(fuzz_set):
+    """The MU variant (theta-e selection + masked sub-column launch) picks
+    the same crossings/areas as the serial subset-and-launch oracle on
+    the adversarial zigzag set."""
+    from xarray_parcel_tpu import parcels
+
+    import serial_oracle as oracle
+    _variant_vs_serial(fuzz_set, parcels.most_unstable_cape_cin,
+                       oracle.most_unstable_cape_cin_column)
+
+
+def test_multicross_mixed_layer_vs_serial(fuzz_set):
+    """The mixed-layer variant (slot-write mix + first-valid launch) picks
+    the same crossings/areas as the serial mix-and-prepend oracle on the
+    adversarial zigzag set."""
+    from xarray_parcel_tpu import parcels
+
+    import serial_oracle as oracle
+    _variant_vs_serial(fuzz_set, parcels.mixed_layer_cape_cin,
+                       oracle.mixed_layer_cape_cin_column)
+
+
 def test_multicross_set_is_adversarial(fuzz_set):
     """The fixture really exercises multi-crossing selection: every column
     has >= 2 increasing and >= 2 decreasing crossings, and at least half
