@@ -19,7 +19,6 @@ boundary, so only the in-pipeline arms decide adoption.
 Usage: python benchmarks/diag_kernel_ab.py   (repo root, TPU backend)
 """
 
-import functools
 import json
 import sys
 import time

@@ -13,9 +13,11 @@ Arms (interleaved rounds, per-arm minima):
   full   — conv_properties_fused(dat)          (three kernel dispatches)
   mega   — same pipeline, one concatenated solve (one kernel dispatch)
 
-Also checks outputs are bit-identical per column (the kernel is
-column-independent and B is a multiple of the 256-column block, so batch
-position cannot change results).
+Also compares outputs per column and logs/records the worst diffs (the
+kernel itself is column-independent, but the XLA pre-pass recompiles at
+the (3B,) shape, so the known fp32 batch-shape wobble — up to ~1e-4 rel
+— is expected rather than bit-identity; a LARGE diff would flag a real
+mega-path bug).
 
 Usage: python benchmarks/megasolve_ab.py   (repo root, TPU backend)
 """
@@ -179,7 +181,10 @@ def main():
     ms = {k: round(v * 1e3, 2) for k, v in best.items()}
     print(json.dumps({
         **ms, 'speedup': round(best['full'] / best['mega'], 4),
-        'equality_worst': {k: v for k, v in sorted(worst.items())[:6]},
+        'equality_worst': dict(sorted(
+            worst.items(),
+            key=lambda kv: (kv[1][1] if isinstance(kv[1], list) else kv[1]),
+            reverse=True)[:6]),
         'batch': B}))
 
 

@@ -31,19 +31,25 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xarray_parcel_tpu import adiabat, cape
+from xarray_parcel_tpu import adiabat, cape, parcels
 
 import serial_oracle as oracle
 
 L = 44
 
 
-def _zigzag_column(rng):
-    """One sounding whose environment oscillates around the parcel track."""
+def _zigzag_column(rng, depression=(1.0, 6.0)):
+    """One sounding whose environment oscillates around the parcel track.
+
+    ``depression`` bounds the surface dewpoint depression: small values
+    put the LCL near the surface (crossings are all candidates); large
+    values (e.g. 9-15 K) lift the LCL 150-250 hPa up so the zigzag
+    crosses the DRY track below it, forcing ``lfc_el``'s above-LCL
+    exclusion / LCL-substitution rules to fire."""
     p = np.linspace(1009.0, 190.0, L) + rng.normal(0, 0.4, L)
     p = -np.sort(-p)
     t0 = 295.0 + rng.uniform(-4.0, 6.0)
-    td0 = t0 - rng.uniform(1.0, 6.0)
+    td0 = t0 - rng.uniform(*depression)
 
     # The parcel's own (real-temperature) track via the oracle's physics.
     lcl_p, lcl_t = oracle.lcl(p[0], t0, td0)
@@ -78,6 +84,19 @@ def _crossing_stats(res):
     return inc, dec, float(gap)
 
 
+def _increasing_crossings(res):
+    """Pressures of all increasing crossings of the oracle's spliced
+    tracks (candidates BEFORE the above-LCL exclusion is applied)."""
+    pp, d = res['pp'], res['parcel_t'] - res['env_t']
+    lx = np.log(pp)
+    xs = []
+    for i in range(len(pp) - 1):
+        if np.sign(d[i]) != np.sign(d[i + 1]) and d[i + 1] > 0:
+            cx = (d[i + 1] * lx[i] - d[i] * lx[i + 1]) / (d[i + 1] - d[i])
+            xs.append(float(np.exp(cx)))
+    return xs
+
+
 @pytest.fixture(scope='module')
 def fuzz_set():
     rng = np.random.default_rng(20260820)
@@ -96,6 +115,38 @@ def fuzz_set():
         cols.append((p, t, td, t0, td0))
         serial.append(res)
     assert len(cols) == 24, f'only {len(cols)} usable columns in {attempts}'
+    return cols, serial
+
+
+@pytest.fixture(scope='module')
+def deep_fuzz_set():
+    """Zigzag columns with a HIGH LCL (9-15 K surface dewpoint depression)
+    kept only when the oracle's selected LFC is NOT the bottom-most
+    increasing crossing — i.e. the above-LCL exclusion or LCL/NaN
+    substitution rules genuinely fired (the base ``fuzz_set`` never
+    exercises them: its near-surface LCLs make every bottom-most
+    crossing admissible)."""
+    rng = np.random.default_rng(20260821)
+    tables = adiabat.load_moist_adiabat_lookups()
+    del tables
+    cols, serial = [], []
+    attempts = 0
+    while len(cols) < 8 and attempts < 300:
+        attempts += 1
+        p, t, td, t0, td0 = _zigzag_column(rng, depression=(9.0, 15.0))
+        res = oracle.cape_cin_column(p, t, td, p[0], t0, td0,
+                                     virtual_temperature_correction=False)
+        inc, dec, gap = _crossing_stats(res)
+        if inc < 2 or gap < 8.0:
+            continue
+        inc_x = _increasing_crossings(res)
+        nontrivial = (np.isnan(res['lfc'])
+                      or abs(res['lfc'] - max(inc_x)) > 1.0)
+        if not nontrivial:
+            continue        # bottom-most pick: base fixture covers this
+        cols.append((p, t, td, t0, td0))
+        serial.append(res)
+    assert len(cols) == 8, f'only {len(cols)} exclusion columns in {attempts}'
     return cols, serial
 
 
@@ -136,6 +187,41 @@ def test_multicross_lfc_el_and_areas(fuzz_set):
             f'col {i} cin: {cin_v[i]} vs {s["cin"]}'
 
 
+def test_multicross_exclusion_rules_vs_serial(deep_fuzz_set):
+    """On columns where the bottom-most increasing crossing is REJECTED
+    (below/at the high LCL), the vectorised solver applies the same
+    exclusion / substitution rules as the serial oracle."""
+    cols, serial = deep_fuzz_set
+    p = np.stack([c[0] for c in cols])
+    t = np.stack([c[1] for c in cols])
+    td = np.stack([c[2] for c in cols])
+    t0 = np.array([c[3] for c in cols])
+    td0 = np.array([c[4] for c in cols])
+
+    res, prof = jax.jit(lambda *a: cape.cape_cin(
+        *a, virtual_temperature_correction=False,
+        moist_lapse=adiabat.moist_lapse_integrate))(
+            jnp.asarray(p), jnp.asarray(t), jnp.asarray(td),
+            jnp.asarray(t0), jnp.asarray(p[:, 0]), jnp.asarray(td0))
+
+    cape_v = np.asarray(res['cape'])
+    cin_v = np.asarray(res['cin'])
+    lfc_v = np.asarray(prof['lfc_pressure'])
+    el_v = np.asarray(prof['el_pressure'])
+
+    for i, s in enumerate(serial):
+        for name, v, sv in (('lfc', lfc_v[i], s['lfc']),
+                            ('el', el_v[i], s['el'])):
+            if np.isnan(sv):
+                assert np.isnan(v), f'col {i} {name}: {v} vs serial NaN'
+            else:
+                assert abs(v - sv) < 1.0, f'col {i} {name}: {v} vs {sv}'
+        assert abs(cape_v[i] - s['cape']) < 1.5, \
+            f'col {i} cape: {cape_v[i]} vs {s["cape"]}'
+        assert abs(cin_v[i] - s['cin']) < 1.5, \
+            f'col {i} cin: {cin_v[i]} vs {s["cin"]}'
+
+
 def _variant_vs_serial(fuzz_set, vector_fn, oracle_fn):
     """Run a parcel variant on the zigzag set, filtering per column on the
     ORACLE's own crossing separation (the variant's parcel shifts the
@@ -145,7 +231,7 @@ def _variant_vs_serial(fuzz_set, vector_fn, oracle_fn):
     t = np.stack([c[1] for c in cols])
     td = np.stack([c[2] for c in cols])
 
-    res, prof, _ = jax.jit(lambda *a: vector_fn(
+    res, prof, parcel = jax.jit(lambda *a: vector_fn(
         *a, virtual_temperature_correction=False,
         moist_lapse=adiabat.moist_lapse_integrate))(
             jnp.asarray(p), jnp.asarray(t), jnp.asarray(td))
@@ -153,6 +239,7 @@ def _variant_vs_serial(fuzz_set, vector_fn, oracle_fn):
     cin_v = np.asarray(res['cin'])
     lfc_v = np.asarray(prof['lfc_pressure'])
     el_v = np.asarray(prof['el_pressure'])
+    parcel_p_v = np.asarray(parcel['pressure'])
 
     compared = 0
     for i in range(len(cols)):
@@ -161,6 +248,11 @@ def _variant_vs_serial(fuzz_set, vector_fn, oracle_fn):
         _, _, gap = _crossing_stats(s)
         if gap < 8.0:
             continue        # near-coincident crossings: branch is ill-posed
+        if 'parcel_pressure' in s and \
+                abs(parcel_p_v[i] - s['parcel_pressure']) > 1e-6:
+            continue        # theta-e argmax tie resolved differently: the
+            # two sides launched different parcels, so crossing agreement
+            # is not expected (cf. test_serial_extended same_parcel guard)
         compared += 1
         for name, v, sv in (('lfc', lfc_v[i], s['lfc']),
                             ('el', el_v[i], s['el'])):
@@ -180,9 +272,6 @@ def test_multicross_most_unstable_vs_serial(fuzz_set):
     """The MU variant (theta-e selection + masked sub-column launch) picks
     the same crossings/areas as the serial subset-and-launch oracle on
     the adversarial zigzag set."""
-    from xarray_parcel_tpu import parcels
-
-    import serial_oracle as oracle
     _variant_vs_serial(fuzz_set, parcels.most_unstable_cape_cin,
                        oracle.most_unstable_cape_cin_column)
 
@@ -191,30 +280,28 @@ def test_multicross_mixed_layer_vs_serial(fuzz_set):
     """The mixed-layer variant (slot-write mix + first-valid launch) picks
     the same crossings/areas as the serial mix-and-prepend oracle on the
     adversarial zigzag set."""
-    from xarray_parcel_tpu import parcels
-
-    import serial_oracle as oracle
     _variant_vs_serial(fuzz_set, parcels.mixed_layer_cape_cin,
                        oracle.mixed_layer_cape_cin_column)
 
 
-def test_multicross_set_is_adversarial(fuzz_set):
-    """The fixture really exercises multi-crossing selection: every column
-    has >= 2 increasing and >= 2 decreasing crossings, and at least half
-    the columns pick an LFC that is NOT the first crossing above the
-    surface (i.e. the selection rules, not just detection, are in play)."""
-    cols, serial = fuzz_set
+def test_multicross_sets_are_adversarial(fuzz_set, deep_fuzz_set):
+    """The fixtures really exercise multi-crossing selection.  Base set:
+    at least half the columns CHOOSE the bottom-most among >= 2 increasing
+    candidates (ordering, not mere detection, is in play).  Deep set
+    (guaranteed by its construction filter, re-checked here): every column
+    REJECTS the bottom-most candidate — the above-LCL exclusion or
+    NaN-substitution path decided the answer."""
+    _, serial = fuzz_set
     multi = 0
     for s in serial:
-        pp, d = s['pp'], s['parcel_t'] - s['env_t']
-        lx = np.log(pp)
-        inc_x = []
-        for i in range(len(pp) - 1):
-            if np.sign(d[i]) != np.sign(d[i + 1]) and d[i + 1] > 0:
-                cx = (d[i + 1] * lx[i] - d[i] * lx[i + 1]) / (d[i + 1] - d[i])
-                inc_x.append(float(np.exp(cx)))
+        inc_x = _increasing_crossings(s)
         if not np.isnan(s['lfc']) and len(inc_x) >= 2 and \
                 abs(s['lfc'] - max(inc_x)) < 1e-9:
-            # bottom-most increasing selected among several candidates
             multi += 1
     assert multi >= len(serial) // 2
+
+    _, deep_serial = deep_fuzz_set
+    for s in deep_serial:
+        inc_x = _increasing_crossings(s)
+        assert len(inc_x) >= 2
+        assert np.isnan(s['lfc']) or abs(s['lfc'] - max(inc_x)) > 1.0
