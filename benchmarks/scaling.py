@@ -14,7 +14,6 @@ Prints one JSON line per (grid, arm).
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
