@@ -607,3 +607,83 @@ def test_compilation_cache_fills(tmp_path):
             jax.config.update('jax_compilation_cache_dir', None)
             jax.config.update('jax_persistent_cache_min_compile_time_secs',
                               prev_min)
+
+
+def test_export_f64_requires_x64(tables):
+    # In an x64-off process jax.export would silently canonicalize the
+    # f64 specs to f32 while meta claims float64; export_pipeline must
+    # refuse (the CLI flips x64 on before calling it).
+    jax.config.update('jax_enable_x64', False)
+    try:
+        with pytest.raises(ValueError, match='float64 export requires'):
+            deploy.export_pipeline('min_conv_properties', batch=4,
+                                   levels=24, dtype=jnp.float64,
+                                   tables=tables)
+    finally:
+        jax.config.update('jax_enable_x64', True)
+
+
+def test_call_coerces_float_dtypes(tables, artifact16):
+    # __call__ (the lowest serving surface) casts mismatched float inputs
+    # to the exported dtype, like the CLI and xarray_api.serve do.
+    _, deployed = artifact16
+    dat64 = make_dat(16, seed=11)
+    dat32 = {k: np.asarray(v, np.float32) for k, v in dat64.items()}
+    ref = pipeline.min_conv_properties(
+        {k: jnp.asarray(v, DTYPE) for k, v in dat32.items()},
+        tables=tables)
+    assert_tree_equal(deployed(dat32, tables=tables), ref)
+
+
+def test_call_rejects_wrong_extents(tables, artifact16):
+    # A 20-level grid through a 24-level artifact fails with the variable
+    # named, not jax.export's internal aval mismatch.
+    _, deployed = artifact16
+    dat = {k: np.asarray(v)[:, :20] if np.asarray(v).ndim == 2 else v
+           for k, v in make_dat(16).items()}
+    with pytest.raises(ValueError, match='extents.*pressure'):
+        deployed(dat, tables=tables)
+
+
+def test_table_placement_is_bounded(tables, artifact16):
+    # A serving loop constructing fresh table objects per call must not
+    # pin every dead placement forever.
+    _, deployed = artifact16
+    dat = make_dat(16)
+    for _ in range(6):
+        fresh = adiabat.AdiabatTables(tables.curves, tables.lookup,
+                                      tables.coeffs)
+        deployed(dat, tables=fresh)
+    assert len(deployed._placed) <= 4
+
+
+def test_load_friendly_errors(tmp_path):
+    # Non-zip file and zip-without-meta both get the artifact-format
+    # ValueError, not KeyError/BadZipFile.
+    not_zip = tmp_path / 'notes.txt'
+    not_zip.write_text('hello')
+    with pytest.raises(ValueError, match='not an xarray-parcel-tpu'):
+        deploy.load(not_zip)
+    import zipfile
+    plain = tmp_path / 'plain.zip'
+    with zipfile.ZipFile(plain, 'w') as z:
+        z.writestr('readme.txt', 'x')
+    with pytest.raises(ValueError, match='not an xarray-parcel-tpu'):
+        deploy.load(plain)
+
+
+def test_cli_info_skips_deserialize(tmp_path, capsys):
+    # `info` must print meta.json even when the StableHLO blob cannot be
+    # deserialized by this process's jax (meta carries the jax_version
+    # that explains the incompatibility).
+    import json
+    import zipfile
+    art = tmp_path / 'foreign.xpz'
+    meta = {'format': 'xarray_parcel_tpu.deploy/1', 'pipeline': 'x',
+            'jax_version': '99.0'}
+    with zipfile.ZipFile(art, 'w') as z:
+        z.writestr('meta.json', json.dumps(meta))
+        z.writestr('exported.stablehlo', b'\x00garbage')
+    assert deploy.main(['info', str(art)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out['jax_version'] == '99.0'

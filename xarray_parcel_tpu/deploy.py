@@ -302,6 +302,20 @@ def export_pipeline(name, batch, levels=90, wind_levels=None,
                                            sharding=replicated(mesh)),
             tab_spec)
 
+    if not jax.config.jax_enable_x64:
+        f64 = sorted({np.dtype(s.dtype).name
+                      for s in jax.tree_util.tree_leaves((dat_spec,
+                                                          tab_spec))
+                      if np.dtype(s.dtype).kind == 'f'
+                      and np.dtype(s.dtype).itemsize == 8})
+        if f64:
+            raise ValueError(
+                'float64 export requires x64: jax.export would silently '
+                f'canonicalize {f64} to float32 while the artifact '
+                'metadata claims float64 — call '
+                "jax.config.update('jax_enable_x64', True) first "
+                '(the CLI does this automatically)')
+
     exp = jax.export.export(
         jax.jit(wrapper),
         platforms=list(platforms) if platforms else None,
@@ -412,6 +426,8 @@ class Deployed:
         key = (id(tables), None if mesh is None else id(mesh))
         memo = self._placed.get(key)
         if memo is not None and memo[0] is tables and memo[1] is mesh:
+            self._placed.pop(key)        # re-insert: LRU recency
+            self._placed[key] = memo
             return memo[2]
         if self.meta.get('slim'):
             if tables is self:
@@ -454,6 +470,11 @@ class Deployed:
         else:
             tab = tuple(jnp.asarray(a) for a in arrs)
         self._placed[key] = (tables, mesh, tab)
+        # Bounded LRU: a serving loop that constructs fresh tables (or a
+        # fresh mesh) per call must not pin every dead ~200 MB pair and
+        # its device placement forever.
+        while len(self._placed) > 4:
+            self._placed.pop(next(iter(self._placed)))
         return tab
 
     def check_inputs(self, dat):
@@ -512,6 +533,34 @@ class Deployed:
         if b == 0:
             raise ValueError('empty batch (leading dim 0) — nothing to '
                              'serve')
+        # Trailing extents must match the exported contract too — fail
+        # here with the variable named, not in jax.export's aval error.
+        spec = input_spec(1, levels=self.meta['levels'],
+                          wind_levels=self.meta['wind_levels'])
+        wrong = {k: (tuple(np.shape(v)[1:]), tuple(spec[k].shape[1:]))
+                 for k, v in dat.items()
+                 if tuple(np.shape(v)[1:]) != tuple(spec[k].shape[1:])}
+        if wrong:
+            raise ValueError(
+                'input extents beyond the batch dim do not match the '
+                'exported contract (got vs exported): ' + ', '.join(
+                    f'{k}: {g} vs {w}'
+                    for k, (g, w) in sorted(wrong.items())))
+        # Coerce float dtypes like the CLI and xarray_api.serve do, so
+        # all three surfaces accept default-dtype numpy inputs.  Cast on
+        # the host: an eager device astype would compile a program per
+        # call on a remote backend.  Matching dtypes (incl. device
+        # arrays) pass through untouched.
+        want = np.dtype(self.meta.get('dtype', 'float32'))
+
+        def _coerce(v):
+            dt = getattr(v, 'dtype', None)
+            dt = np.dtype(dt) if dt is not None else np.asarray(v).dtype
+            if dt.kind == 'f' and dt != want:
+                return np.asarray(v).astype(want, copy=False)
+            return v
+
+        dat = {k: _coerce(v) for k, v in dat.items()}
 
         if not self.meta.get('slim'):
             # Slim artifacts carry their coefficients; only full-table
@@ -559,15 +608,27 @@ class Deployed:
             lambda *xs: np.concatenate(xs, axis=0)[:b], *chunks)
 
 
+def _read_meta(path):
+    """Artifact metadata alone — no StableHLO deserialization; friendly
+    errors for non-zip files and zips that are not artifacts."""
+    try:
+        with zipfile.ZipFile(path) as z:
+            return json.loads(z.read('meta.json'))
+    except (KeyError, zipfile.BadZipFile) as e:
+        raise ValueError(
+            'not an xarray-parcel-tpu exported artifact (expected a zip '
+            f'containing meta.json + exported.stablehlo): {path}') from e
+
+
 def load(path):
     """Load a :class:`Deployed` artifact written by :meth:`Deployed.save`."""
+    meta = _read_meta(path)
+    if meta.get('format') not in _FORMATS_READ:
+        raise ValueError(
+            f'not an xarray-parcel-tpu exported artifact '
+            f'(readable formats: {sorted(_FORMATS_READ)}, got '
+            f'{meta.get("format")!r}): {path}')
     with zipfile.ZipFile(path) as z:
-        meta = json.loads(z.read('meta.json'))
-        if meta.get('format') not in _FORMATS_READ:
-            raise ValueError(
-                f'not an xarray-parcel-tpu exported artifact '
-                f'(readable formats: {sorted(_FORMATS_READ)}, got '
-                f'{meta.get("format")!r}): {path}')
         exported = jax.export.deserialize(z.read('exported.stablehlo'))
         embedded = None
         if meta.get('slim'):
@@ -592,7 +653,19 @@ def _cli_export(args):
         if any(a.dtype.itemsize == 8 for a in arrays.values()
                if a.dtype.kind == 'f'):
             jax.config.update('jax_enable_x64', True)
-        tables = adiabat.AdiabatTables._from_arrays(arrays)
+        # Host-backed tables: export only reads shapes/dtypes (and a host
+        # copy of coeffs for slim), so never device-place the ~200 MB
+        # curves/lookup (_from_arrays would, via jnp.asarray — minutes
+        # over a slow link).  Stale/missing coefficients rebuild exactly
+        # as _from_arrays does.
+        coeffs = arrays.get('coeffs')
+        if coeffs is not None and np.shape(coeffs)[-1] != adiabat.N_COEF:
+            coeffs = None
+        if coeffs is None:
+            coeffs = np.asarray(adiabat.build_spectral(
+                dtype=arrays['curves'].dtype))
+        tables = adiabat.AdiabatTables(arrays['curves'], arrays['lookup'],
+                                       coeffs)
     dep = export_pipeline(
         args.pipeline,
         batch=None if args.polymorphic else args.batch,
@@ -645,8 +718,10 @@ def _cli_serve(args):
 
 
 def _cli_info(args):
-    dep = load(args.artifact)
-    print(json.dumps(dep.meta, indent=1))
+    # meta.json only — info must work even when this process's jax
+    # cannot deserialize the blob (the metadata's jax_version field is
+    # exactly what explains such an incompatibility).
+    print(json.dumps(_read_meta(args.artifact), indent=1))
     return 0
 
 
