@@ -942,3 +942,134 @@ def test_storm_proxies_subsets_merged_dataset(dat):
                                    np.asarray(conv['mu_cape'].values))})
     with pytest.raises(ValueError, match='shear_magnitude'):
         xarray_api.storm_proxies(slim)
+
+
+@pytest.fixture(scope='module')
+def dat_mixed_dims(dat):
+    """The same grid with a 1-D pressure coordinate-variable and
+    time-invariant-style surface winds carrying only the trailing batch
+    dim — the mixed-dims layout real archives use."""
+    p1 = dat['pressure'].values[0, 0]           # levels are uniform here
+    out = xr.Dataset(
+        {'pressure': (('model_level_number',), p1),
+         'temperature': (dat['temperature'].dims,
+                         np.asarray(dat['temperature'].values)),
+         'specific_humidity': (dat['specific_humidity'].dims,
+                               np.asarray(dat['specific_humidity'].values)),
+         'height_asl': (dat['height_asl'].dims,
+                        np.asarray(dat['height_asl'].values)),
+         'surface_wind_u': (('longitude',),
+                            np.asarray(dat['surface_wind_u'].values)[0]),
+         'surface_wind_v': (('longitude',),
+                            np.asarray(dat['surface_wind_v'].values)[0]),
+         'wind_u': (dat['wind_u'].dims, np.asarray(dat['wind_u'].values)),
+         'wind_v': (dat['wind_v'].dims, np.asarray(dat['wind_v'].values)),
+         'wind_height_above_surface': (
+             dat['wind_height_above_surface'].dims,
+             np.asarray(dat['wind_height_above_surface'].values))},
+        coords={'latitude': np.asarray(dat.coords['latitude'].values),
+                'longitude': np.asarray(dat.coords['longitude'].values),
+                'model_level_number': np.asarray(
+                    dat.coords['model_level_number'].values)})
+    # The reference equivalent: everything broadcast to the full grid.
+    full = dat.copy()
+    full['surface_wind_u'] = (('latitude', 'longitude'), np.broadcast_to(
+        np.asarray(dat['surface_wind_u'].values)[:1],
+        dat['surface_wind_u'].shape).copy())
+    full['surface_wind_v'] = (('latitude', 'longitude'), np.broadcast_to(
+        np.asarray(dat['surface_wind_v'].values)[:1],
+        dat['surface_wind_v'].shape).copy())
+    return out, full
+
+
+def test_mixed_dims_dataset_pipeline_matches_broadcast(dat_mixed_dims):
+    """A 1-D pressure coordinate-variable + subset-dim surface winds
+    compute exactly as the fully-broadcast grid (the reference relies on
+    xarray auto-broadcast for this layout)."""
+    mixed, full = dat_mixed_dims
+    ref = xarray_api.conv_properties(full)
+    out = xarray_api.conv_properties(mixed)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]).shape,
+                                      np.asarray(ref[k]).shape, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=0, atol=0, err_msg=k)
+
+
+def test_mixed_dims_mesh_ingest_matches_direct(dat_mixed_dims):
+    """conv_properties(mixed-dims dat, mesh=): subset-dim variables
+    broadcast to the full batch BEFORE the leading axis shards — a 1-D
+    pressure must never have its LEVEL axis split across devices."""
+    import jax
+    from xarray_parcel_tpu.parallel import make_mesh
+    mixed, _ = dat_mixed_dims
+    ref = xarray_api.conv_properties(mixed)
+    mesh = make_mesh(jax.devices('cpu')[:3])
+    out = xarray_api.conv_properties(mixed, mesh=mesh)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_mixed_dims_per_function_surface(dat_mixed_dims):
+    """The per-function surface lays out mixed-dims arguments by the
+    UNION of batch dims (1-D pressure next to 3-D temperature)."""
+    mixed, full = dat_mixed_dims
+    dew_f = xarray_api.dewpoint_from_specific_humidity(
+        full['pressure'], full['temperature'], full['specific_humidity'])
+    dew_m = xarray_api.dewpoint_from_specific_humidity(
+        mixed['pressure'], mixed['temperature'], mixed['specific_humidity'])
+    assert np.asarray(dew_m).shape == np.asarray(dew_f).shape
+    np.testing.assert_allclose(np.asarray(dew_m), np.asarray(dew_f),
+                               rtol=0, atol=0)
+    res_f, _ = xarray_api.most_unstable_cape_cin(
+        full['pressure'], full['temperature'], dew_f)
+    res_m, _ = xarray_api.most_unstable_cape_cin(
+        mixed['pressure'], mixed['temperature'], dew_m)
+    np.testing.assert_allclose(np.asarray(res_m['mu_cape']),
+                               np.asarray(res_f['mu_cape']),
+                               rtol=0, atol=0)
+
+
+def test_pipeline_ignores_provided_dewpoint(dat_dew):
+    """The registry pipelines derive dewpoint from specific humidity and
+    never read a provided 'dewpoint' variable — a (deliberately wrong)
+    dewpoint in the Dataset must neither change results nor be shipped."""
+    ref = xarray_api.conv_properties(dat_dew)
+    poisoned = dat_dew.copy()
+    poisoned['dewpoint'] = (dat_dew['dewpoint'].dims,
+                            np.full_like(
+                                np.asarray(dat_dew['dewpoint'].values),
+                                9999.0))
+    out = xarray_api.conv_properties(poisoned)
+    for k in ref.data_vars:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_diagnostic_names_follow_parameters(dat):
+    """lapse_rate/isobar_temperature output names track the pressures
+    actually used (reference defaults keep the reference names)."""
+    da = xarray_api.isobar_temperature(dat['pressure'], dat['temperature'],
+                                       isobar=500.0)
+    assert da.name == 'temp_500'
+    da850 = xarray_api.isobar_temperature(dat['pressure'],
+                                          dat['temperature'], isobar=850.0)
+    assert da850.name == 'temp_850'
+    lr = xarray_api.lapse_rate(dat['pressure'], dat['temperature'],
+                               dat['height_asl'])
+    assert lr.name == 'lapse_rate_700_500'
+    lr2 = xarray_api.lapse_rate(dat['pressure'], dat['temperature'],
+                                dat['height_asl'], from_pressure=850.0,
+                                to_pressure=700.0)
+    assert lr2.name == 'lapse_rate_850_700'
+
+
+def test_ops_names_filter_applies_to_dicts(dat):
+    """get_layer(dict, names=...) excludes unrequested variables for
+    plain-dict input just as it does for Datasets."""
+    das = {'pressure': dat['pressure'], 'temperature': dat['temperature'],
+           'bogus_extra': dat['surface_wind_u']}
+    out = xarray_api.get_layer(das, depth=100.0,
+                               names=['pressure', 'temperature'])
+    assert 'bogus_extra' not in getattr(out, 'data_vars', out)

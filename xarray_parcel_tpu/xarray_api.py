@@ -91,11 +91,13 @@ def _jitted(fn, static_items=()):
             'reuse the compiled program', stacklevel=3)
         return jax.jit(functools.partial(fn, **dict(static_items)))
     key = (fn, tuple(static_items))
-    if key not in _JIT_CACHE:
-        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:   # bound process lifetime use
-            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
-        _JIT_CACHE[key] = jax.jit(functools.partial(fn,
-                                                    **dict(static_items)))
+    if key in _JIT_CACHE:
+        jitted = _JIT_CACHE.pop(key)    # re-insert: LRU recency, so the
+        _JIT_CACHE[key] = jitted        # hottest programs survive eviction
+        return jitted
+    if len(_JIT_CACHE) >= _JIT_CACHE_MAX:   # bound process lifetime use
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    _JIT_CACHE[key] = jax.jit(functools.partial(fn, **dict(static_items)))
     return _JIT_CACHE[key]
 
 
@@ -112,14 +114,16 @@ def _is_dataset(obj):
 
 
 def _batch_dims_of(args, vert_dim):
-    """Ordered non-vertical dims from the first level-carrying argument."""
+    """Union of non-vertical dims over EVERY dim-carrying argument, in
+    first-appearance order.  Deriving them from one argument alone
+    mis-lays mixed-dims inputs (e.g. a 1-D pressure coordinate-variable
+    next to (time, lat, lon, level) temperature)."""
+    dims = []
     for a in args:
-        if hasattr(a, 'dims') and vert_dim in a.dims:
-            return tuple(d for d in a.dims if d != vert_dim)
-    for a in args:
-        if hasattr(a, 'dims'):
-            return tuple(a.dims)
-    return ()
+        for d in getattr(a, 'dims', ()):
+            if d != vert_dim and d not in dims:
+                dims.append(d)
+    return tuple(dims)
 
 
 def _coords_of(args, batch_dims):
@@ -172,14 +176,22 @@ def _vert_coord_values(vert_coord, size):
 
 def _lower(a, vert_dim, batch_dims):
     """One DataArray (or array) -> ndarray, batch dims leading in the shared
-    order, vertical dim trailing."""
+    order, vertical dim trailing.  A variable carrying only a SUBSET of
+    the batch dims gets size-1 axes for the missing ones, so it
+    broadcasts correctly against full-batch variables whatever position
+    the missing dims occupy."""
     if a is None or np.isscalar(a):
         return a
     if hasattr(a, 'dims'):
         order = tuple(d for d in batch_dims if d in a.dims)
         trail = (vert_dim,) if vert_dim in a.dims else ()
         a = a.transpose(*order, *trail)
-        return np.asarray(a.values)
+        v = np.asarray(a.values)
+        if batch_dims and order != tuple(batch_dims):
+            shape = tuple(v.shape[order.index(d)] if d in order else 1
+                          for d in batch_dims) + v.shape[len(order):]
+            v = v.reshape(shape)
+        return v
     return np.asarray(a)
 
 
@@ -303,15 +315,24 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
             da = da.transpose(*order, *((vert_dim,) if vert_dim in da.dims
                                         else ()))
             v = np.ascontiguousarray(np.asarray(da.values))
-            fields[name] = (v.astype(dtype, copy=False)
-                            if v.dtype.kind == 'f' else v)
+            v = (v.astype(dtype, copy=False)
+                 if v.dtype.kind == 'f' else v)
         elif da.dims == (vert_dim,) + order and da.ndim > 1:
             # Native repack: leading level axis -> trailing, f32 (native/).
-            fields[name] = native.levels_to_last(np.asarray(da.values))
+            v = native.levels_to_last(np.asarray(da.values))
         else:
             da = da.transpose(*order, *((vert_dim,) if vert_dim in da.dims
                                         else ()))
-            fields[name] = native.repack_to_f32(np.asarray(da.values))
+            v = native.repack_to_f32(np.asarray(da.values))
+        if batch_dims and order != tuple(batch_dims):
+            # Subset-dim variable (1-D pressure coordinate-variable,
+            # time-invariant winds …): size-1 axes for the missing batch
+            # dims make broadcasting against full-batch variables correct
+            # whatever position the missing dims occupy.
+            v = v.reshape(tuple(v.shape[order.index(d)] if d in order
+                                else 1 for d in batch_dims)
+                          + v.shape[len(order):])
+        fields[name] = v
 
     if mesh is not None:
         from .parallel import shard_batch
@@ -320,6 +341,12 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
                 'mesh= needs at least one non-vertical (batch) dim to '
                 'shard — a single-column Dataset would shard its LEVEL '
                 'axis across devices')
+        # Subset-dim variables (a 1-D pressure coordinate-variable,
+        # time-invariant surface winds) must cover the full batch before
+        # the leading axis is sharded, or shard_batch would split a
+        # NON-batch axis across devices.  broadcast_to views are free on
+        # the host; they materialize per shard at device_put.
+        fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
         lead = next(iter(fields.values())).shape[0]
         if lead % mesh.devices.size:
             raise ValueError(
@@ -329,6 +356,23 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
                 f'pad via parallel.pad_batch before from_dataset')
         fields = shard_batch(fields, mesh, batch_dims=1)
     return fields, batch_dims
+
+
+def _broadcast_fields(fields, dat, batch_dims, vert_dim):
+    """Broadcast each lowered field onto the FULL batch shape (as zero-copy
+    views) so leading-axis chunking/padding/sharding is well-defined for
+    variables that carry only a subset of the batch dims.  ``from_dataset``
+    already gave such fields size-1 axes for their missing batch dims."""
+    sizes = {}
+    for name in fields:
+        for d, s in zip(dat[name].dims, dat[name].shape):
+            if d != vert_dim:
+                sizes[d] = int(s)
+    batch_shape = tuple(sizes[d] for d in batch_dims)
+    nb = len(batch_dims)
+    return {name: (v if v.shape[:nb] == batch_shape
+                   else np.broadcast_to(v, batch_shape + v.shape[nb:]))
+            for name, v in fields.items()}
 
 
 def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
@@ -354,13 +398,25 @@ def _dataset_pipeline(fn):
                 stream_columns=None, **kwargs):
         # When streaming, the full grid must never be device_put whole —
         # chunks are placed (and mesh-sharded) one at a time inside
-        # stream_map.
-        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim, mesh=None)
+        # stream_map.  The registry pipelines derive dewpoint from
+        # specific humidity and never read a provided 'dewpoint'
+        # variable, so exclude it from the ingest (a full-grid repack +
+        # transfer XLA would only dead-code-eliminate).
+        use = [v for v in _LEVEL_VARS + ('surface_wind_u', 'surface_wind_v')
+               if v != 'dewpoint' and v in dat]
+        fields, batch_dims = from_dataset(dat, vert_dim=vert_dim,
+                                          variables=use, mesh=None)
         if (mesh is not None or stream_columns) and not batch_dims:
             raise ValueError(
                 'mesh=/stream_columns= need at least one non-vertical '
                 '(batch) dim — a single-column Dataset would chunk/shard '
                 'its LEVEL axis')
+        if mesh is not None or stream_columns:
+            # Leading-axis padding/chunking/sharding below needs every
+            # field on the full batch shape (zero-copy views; subset-dim
+            # variables like a 1-D pressure coordinate-variable would
+            # otherwise be split along a non-batch axis).
+            fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
@@ -383,7 +439,7 @@ def _dataset_pipeline(fn):
         else:
             out = run(fields, tables=tables)
         coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
-        return to_dataset(out, batch_dims, coords=coords)
+        return to_dataset(out, batch_dims, coords=coords, vert_dim=vert_dim)
     # functools.wraps copied fn's docstring; append the Dataset-surface
     # extras so they are actually reachable from help().
     wrapper.__doc__ = ((fn.__doc__ or '').rstrip() + '\n\n' +
@@ -443,28 +499,20 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     fields, batch_dims = from_dataset(dat, vert_dim=vert_dim,
                                       variables=names, dtype=want)
     nb = len(batch_dims)
-    # Per-dim batch sizes: a variable may carry only a subset of the
-    # batch dims (e.g. time-invariant surface winds on a time+lat+lon
-    # grid) — broadcast it to the full batch shape before flattening.
-    sizes = {}
-    for name in fields:
-        da = dat[name]
-        for d, s in zip(da.dims, da.shape):
-            if d != vert_dim:
-                sizes[d] = int(s)
-    batch_shape = tuple(sizes[d] for d in batch_dims)
+    # A variable may carry only a subset of the batch dims (e.g.
+    # time-invariant surface winds on a time+lat+lon grid) — broadcast to
+    # the full batch shape before flattening onto the column axis.
+    fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
+    batch_shape = (next(iter(fields.values())).shape[:nb]
+                   if fields else ())
 
-    def flat_one(name, v):
-        v = np.asarray(v)
-        own = tuple(d for d in batch_dims if d in dat[name].dims)
-        if own != batch_dims:
-            shape1 = tuple(sizes[d] if d in own else 1
-                           for d in batch_dims) + v.shape[len(own):]
-            v = np.broadcast_to(v.reshape(shape1),
-                                batch_shape + v.shape[len(own):])
-        return np.reshape(v, (-1,) + v.shape[nb:]).astype(want, copy=False)
+    def flat_one(v):
+        v = np.reshape(np.asarray(v), (-1,) + np.shape(v)[nb:])
+        # Floats only: from_dataset deliberately preserves int/bool
+        # variables, which the export layer expects un-cast.
+        return v.astype(want, copy=False) if v.dtype.kind == 'f' else v
 
-    flat = {k: flat_one(k, v) for k, v in fields.items()}
+    flat = {k: flat_one(v) for k, v in fields.items()}
     # Pass tables through UN-resolved: Deployed auto-loads the artifact's
     # recorded table dtype in a fresh serving process (deploy.py), which
     # this process's own default tables need not match.
@@ -476,7 +524,7 @@ def serve(dat, artifact, vert_dim=DEFAULT_VERT_DIM, tables=None, mesh=None):
     out = {k: np.asarray(v).reshape(batch_shape + np.shape(v)[1:])
            for k, v in out.items()}
     coords = {d: dat.coords[d] for d in batch_dims if d in dat.coords}
-    return to_dataset(out, batch_dims, coords=coords)
+    return to_dataset(out, batch_dims, coords=coords, vert_dim=vert_dim)
 
 
 def storm_proxies(conv, vert_dim=DEFAULT_VERT_DIM):
@@ -774,9 +822,11 @@ def lapse_rate(pressure, temperature, height, from_pressure=700.0,
     low = [_lower(a, vert_dim, batch_dims) for a in args]
     run = _jitted(_diag.lapse_rate, (('from_pressure', float(from_pressure)),
                                      ('to_pressure', float(to_pressure))))
+    # Name follows the layer actually computed ('lapse_rate_700_500' at
+    # the reference defaults).
     return _lift_da(run(*low), batch_dims,
                     coords=_coords_of(args, batch_dims),
-                    name='lapse_rate_700_500')
+                    name=f'lapse_rate_{from_pressure:g}_{to_pressure:g}')
 
 
 def isobar_temperature(pressure, temperature, isobar,
@@ -787,8 +837,11 @@ def isobar_temperature(pressure, temperature, isobar,
     batch_dims = _batch_dims_of(args, vert_dim)
     low = [_lower(a, vert_dim, batch_dims) for a in args]
     run = _jitted(_diag.isobar_temperature, (('isobar', float(isobar)),))
+    # Name follows the isobar actually evaluated ('temp_500' at the
+    # reference default).
     return _lift_da(run(*low), batch_dims,
-                    coords=_coords_of(args, batch_dims), name='temp_500')
+                    coords=_coords_of(args, batch_dims),
+                    name=f'temp_{isobar:g}')
 
 
 def freezing_level_height(temperature, height, vert_dim=DEFAULT_VERT_DIM):
@@ -931,7 +984,9 @@ def _fields_of(dat, vert_dim, names=None):
                     f'explicitly or vert_dim= to name the level dimension')
         das = {k: dat[k] for k in names}
     else:
-        das = dict(dat)
+        # The names= contract holds for plain dicts too.
+        das = (dict(dat) if names is None
+               else {k: dat[k] for k in names})
     args = list(das.values())
     batch_dims = _batch_dims_of(args, vert_dim)
     fields = {k: _lower(v, vert_dim, batch_dims) for k, v in das.items()}
