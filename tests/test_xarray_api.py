@@ -1022,10 +1022,10 @@ def test_mixed_dims_per_function_surface(dat_mixed_dims):
     assert np.asarray(dew_m).shape == np.asarray(dew_f).shape
     np.testing.assert_allclose(np.asarray(dew_m), np.asarray(dew_f),
                                rtol=0, atol=0)
-    res_f, _ = xarray_api.most_unstable_cape_cin(
-        full['pressure'], full['temperature'], dew_f)
-    res_m, _ = xarray_api.most_unstable_cape_cin(
-        mixed['pressure'], mixed['temperature'], dew_m)
+    res_f, *_ = xarray_api.most_unstable_cape_cin(
+        full['pressure'], full['temperature'], dew_f, prefix='mu')
+    res_m, *_ = xarray_api.most_unstable_cape_cin(
+        mixed['pressure'], mixed['temperature'], dew_m, prefix='mu')
     np.testing.assert_allclose(np.asarray(res_m['mu_cape']),
                                np.asarray(res_f['mu_cape']),
                                rtol=0, atol=0)

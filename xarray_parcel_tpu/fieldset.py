@@ -10,6 +10,7 @@ so annotated outputs flow through jit/sharding/sync unchanged.
 """
 
 import jax
+import re
 
 
 class FieldSet(dict):
@@ -139,6 +140,19 @@ def attrs_for(name):
         return dict(_BASE_ATTRS[name])
     if name in _PROXY_STUDIES:
         return {'long_name': 'Proxy ' + _PROXY_STUDIES[name]}
+    # Parameterized diagnostics: isobar_temperature/lapse_rate output names
+    # track the pressures actually used (temp_850, lapse_rate_850_700 …) —
+    # annotate from the base entries with the real pressures substituted.
+    m = re.fullmatch(r'temp_([0-9][0-9.]*)', name)
+    if m:
+        base = dict(_BASE_ATTRS['temp_500'])
+        base['description'] = f'Temperature at {m.group(1)} hPa.'
+        return base
+    m = re.fullmatch(r'lapse_rate_([0-9][0-9.]*)_([0-9][0-9.]*)', name)
+    if m:
+        base = dict(_BASE_ATTRS['lapse_rate_700_500'])
+        base['description'] = f'{m.group(1)}-{m.group(2)} hPa lapse rate'
+        return base
     for prefix, desc in _PREFIX_DESCRIPTIONS.items():
         tag = prefix + '_'
         if name.startswith(tag) and name[len(tag):] in _BASE_ATTRS:

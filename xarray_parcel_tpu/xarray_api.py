@@ -174,25 +174,56 @@ def _vert_coord_values(vert_coord, size):
     return np.arange(size)
 
 
+def _subset_align(v, order, batch_dims):
+    """Align a variable carrying only a SUBSET of the batch dims.
+
+    When the present dims form a suffix of ``batch_dims`` (a 1-D pressure
+    coordinate-variable, trailing-dim surface winds), numpy's natural
+    trailing alignment already broadcasts it correctly against full-batch
+    variables, so the array keeps its own shape.  Only when an INTERIOR
+    (or leading-misaligned) batch dim is missing are size-1 axes inserted
+    for the missing dims — the layout xarray auto-broadcasting gives the
+    reference (reference: modules/parcel_functions.py:63-100 passim)."""
+    order = tuple(order)
+    batch_dims = tuple(batch_dims)
+    if not batch_dims or order == batch_dims[len(batch_dims) - len(order):]:
+        return v
+    shape = tuple(v.shape[order.index(d)] if d in order else 1
+                  for d in batch_dims) + v.shape[len(order):]
+    return v.reshape(shape)
+
+
 def _lower(a, vert_dim, batch_dims):
     """One DataArray (or array) -> ndarray, batch dims leading in the shared
-    order, vertical dim trailing.  A variable carrying only a SUBSET of
-    the batch dims gets size-1 axes for the missing ones, so it
-    broadcasts correctly against full-batch variables whatever position
-    the missing dims occupy."""
+    order, vertical dim trailing.  Subset-dim variables align per
+    :func:`_subset_align` (natural shape when trailing-aligned, size-1
+    axes for missing interior batch dims)."""
     if a is None or np.isscalar(a):
         return a
     if hasattr(a, 'dims'):
         order = tuple(d for d in batch_dims if d in a.dims)
         trail = (vert_dim,) if vert_dim in a.dims else ()
         a = a.transpose(*order, *trail)
-        v = np.asarray(a.values)
-        if batch_dims and order != tuple(batch_dims):
-            shape = tuple(v.shape[order.index(d)] if d in order else 1
-                          for d in batch_dims) + v.shape[len(order):]
-            v = v.reshape(shape)
-        return v
+        return _subset_align(np.asarray(a.values), order, batch_dims)
     return np.asarray(a)
+
+
+def _lower_common(args, vert_dim, batch_dims):
+    """Lower each argument, then broadcast the level-carrying ones to
+    their common shape: a mixed-dims call (1-D pressure coordinate-
+    variable next to full-grid temperature) reaches the core functions as
+    mutually broadcast arrays, exactly as xarray auto-broadcasting hands
+    the reference's functions full-grid operands."""
+    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    idx = [i for i, a in enumerate(args)
+           if vert_dim is not None and hasattr(a, 'dims')
+           and vert_dim in a.dims]
+    if len(idx) > 1:
+        tgt = np.broadcast_shapes(*(np.shape(low[i]) for i in idx))
+        for i in idx:
+            if np.shape(low[i]) != tgt:
+                low[i] = np.broadcast_to(low[i], tgt)
+    return low
 
 
 def _lift(result, batch_dims, vert_dim=DEFAULT_VERT_DIM, coords=None,
@@ -324,15 +355,7 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
             da = da.transpose(*order, *((vert_dim,) if vert_dim in da.dims
                                         else ()))
             v = native.repack_to_f32(np.asarray(da.values))
-        if batch_dims and order != tuple(batch_dims):
-            # Subset-dim variable (1-D pressure coordinate-variable,
-            # time-invariant winds …): size-1 axes for the missing batch
-            # dims make broadcasting against full-batch variables correct
-            # whatever position the missing dims occupy.
-            v = v.reshape(tuple(v.shape[order.index(d)] if d in order
-                                else 1 for d in batch_dims)
-                          + v.shape[len(order):])
-        fields[name] = v
+        fields[name] = _subset_align(v, order, batch_dims)
 
     if mesh is not None:
         from .parallel import shard_batch
@@ -360,19 +383,23 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
 
 def _broadcast_fields(fields, dat, batch_dims, vert_dim):
     """Broadcast each lowered field onto the FULL batch shape (as zero-copy
-    views) so leading-axis chunking/padding/sharding is well-defined for
-    variables that carry only a subset of the batch dims.  ``from_dataset``
-    already gave such fields size-1 axes for their missing batch dims."""
+    views) so leading-axis chunking/padding/sharding — and the pipelines'
+    shape-uniform core — are well-defined for variables that carry only a
+    subset of the batch dims.  Fields may arrive at their natural
+    (trailing-aligned) shape or with size-1 axes for missing interior
+    dims; both broadcast to the full target."""
     sizes = {}
     for name in fields:
         for d, s in zip(dat[name].dims, dat[name].shape):
             if d != vert_dim:
                 sizes[d] = int(s)
     batch_shape = tuple(sizes[d] for d in batch_dims)
-    nb = len(batch_dims)
-    return {name: (v if v.shape[:nb] == batch_shape
-                   else np.broadcast_to(v, batch_shape + v.shape[nb:]))
-            for name, v in fields.items()}
+    out = {}
+    for name, v in fields.items():
+        trail = v.shape[-1:] if vert_dim in dat[name].dims else ()
+        target = batch_shape + trail
+        out[name] = v if v.shape == target else np.broadcast_to(v, target)
+    return out
 
 
 def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
@@ -411,12 +438,13 @@ def _dataset_pipeline(fn):
                 'mesh=/stream_columns= need at least one non-vertical '
                 '(batch) dim — a single-column Dataset would chunk/shard '
                 'its LEVEL axis')
-        if mesh is not None or stream_columns:
-            # Leading-axis padding/chunking/sharding below needs every
-            # field on the full batch shape (zero-copy views; subset-dim
-            # variables like a 1-D pressure coordinate-variable would
-            # otherwise be split along a non-batch axis).
-            fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
+        # Every field on the full batch shape (zero-copy host views): the
+        # pipeline cores assume shape-uniform inputs (e.g. mix_layer
+        # broadcasts temperature to pressure.shape), and leading-axis
+        # padding/chunking/sharding must never split a non-batch axis of
+        # a subset-dim variable (a 1-D pressure coordinate-variable,
+        # time-invariant surface winds).
+        fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
         tables = _resolve_tables(tables)
         run = _jitted(fn, sorted(kwargs.items()))
         if stream_columns:
@@ -603,7 +631,7 @@ def parcel_profile(pressure, parcel_pressure, parcel_temperature,
     (reference: modules/parcel_functions.py:712-780)."""
     args = (pressure, parcel_pressure, parcel_temperature, parcel_dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_profile.parcel_profile,
                   (('moist_lapse', moist_lapse),))
     out = run(low[0], low[1], low[2], low[3],
@@ -623,7 +651,7 @@ def parcel_profile_with_lcl(pressure, temperature, dewpoint, parcel_pressure,
     args = (pressure, temperature, dewpoint, parcel_pressure,
             parcel_temperature, parcel_dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_profile.parcel_profile_with_lcl,
                   (('lcl_interp', lcl_interp), ('moist_lapse', moist_lapse)))
     out = run(*low, tables=_resolve_tables(tables))
@@ -639,7 +667,7 @@ def lfc_el(pressure, parcel_temperature, temperature, lcl_pressure,
     args = (pressure, parcel_temperature, temperature, lcl_pressure,
             lcl_temperature)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     out = _jitted(_cape.lfc_el)(*low)
     return _lift(out, batch_dims, coords=_coords_of(args, batch_dims))
 
@@ -652,7 +680,7 @@ def cape_cin(pressure, temperature, dewpoint, parcel_temperature,
     args = (pressure, temperature, dewpoint, parcel_temperature,
             parcel_pressure, parcel_dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_cape.cape_cin, sorted(kwargs.items()))
     res, profile = run(low[0], low[1], low[2], low[3], low[4], low[5],
                        tables=_resolve_tables(tables))
@@ -674,7 +702,7 @@ def _cape_variant(core, res_extras):
                 'conv_properties / surface_based_cape_cin_dataset')
         args = (pressure, temperature, dewpoint)
         batch_dims = _batch_dims_of(args, vert_dim)
-        low = [_lower(a, vert_dim, batch_dims) for a in args]
+        low = _lower_common(args, vert_dim, batch_dims)
         run = _jitted(core, sorted(kwargs.items()))
         out = run(*low, tables=_resolve_tables(tables))
         res, rest = out[0], out[1:]
@@ -776,7 +804,7 @@ def deep_convective_index(pressure, temperature, dewpoint, lifted_index,
     """Kunz DCI (reference: modules/parcel_functions.py:1830-1870)."""
     args = (pressure, temperature, dewpoint, lifted_index)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     out = _jitted(_diag.deep_convective_index)(*low)
     out = _rename(out, prefix, ('dci',))
     key = f'{prefix}_dci' if prefix else 'dci'
@@ -792,7 +820,7 @@ def wet_bulb_temperature(pressure, temperature, dewpoint,
     reference: modules/parcel_functions.py:389-445)."""
     args = (pressure, temperature, dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_diag.wet_bulb_temperature,
                   (('moist_lapse', moist_lapse),))
     out = run(*low, tables=_resolve_tables(tables))
@@ -819,7 +847,7 @@ def lapse_rate(pressure, temperature, height, from_pressure=700.0,
     (reference: modules/parcel_functions.py:2102-2135)."""
     args = (pressure, temperature, height)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_diag.lapse_rate, (('from_pressure', float(from_pressure)),
                                      ('to_pressure', float(to_pressure))))
     # Name follows the layer actually computed ('lapse_rate_700_500' at
@@ -835,7 +863,7 @@ def isobar_temperature(pressure, temperature, isobar,
     (reference: modules/parcel_functions.py:2193-2214)."""
     args = (pressure, temperature)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_diag.isobar_temperature, (('isobar', float(isobar)),))
     # Name follows the isobar actually evaluated ('temp_500' at the
     # reference default).
@@ -849,7 +877,7 @@ def freezing_level_height(temperature, height, vert_dim=DEFAULT_VERT_DIM):
     (reference: modules/parcel_functions.py:2137-2160)."""
     args = (temperature, height)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     return _lift_da(_jitted(_diag.freezing_level_height)(*low), batch_dims,
                     coords=_coords_of(args, batch_dims),
                     name='freezing_level')
@@ -867,7 +895,7 @@ def melting_level_height(pressure, temperature, dewpoint, height, fast=True,
     (reference: modules/parcel_functions.py:2162-2191)."""
     args = (pressure, temperature, dewpoint, height)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_mlh_core, (('fast', bool(fast)),))
     return _lift_da(run(*low, tables=_resolve_tables(tables)), batch_dims,
                     coords=_coords_of(args, batch_dims),
@@ -880,7 +908,7 @@ def wind_shear(surface_wind_u, surface_wind_v, wind_u, wind_v, height,
     (reference: modules/parcel_functions.py:2216-2259)."""
     args = (surface_wind_u, surface_wind_v, wind_u, wind_v, height)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_diag.wind_shear, (('shear_height', float(shear_height)),))
     return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
 
@@ -904,7 +932,7 @@ def dry_lapse(pressure, parcel_temperature, parcel_pressure=None,
     from . import api as _api
     args = (pressure, parcel_temperature, parcel_pressure)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     out = _jitted(_api.dry_lapse)(low[0], low[1]) if low[2] is None else \
         _jitted(_api.dry_lapse)(low[0], low[1], low[2])
     return _lift_da(out, batch_dims, vert_dim=vert_dim,
@@ -918,7 +946,7 @@ def moist_lapse(pressure, parcel_temperature, parcel_pressure=None,
     (reference: modules/parcel_functions.py:525-607)."""
     args = (pressure, parcel_temperature, parcel_pressure)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     tables = _resolve_tables(tables)
     if low[2] is None:
         out = _jitted(adiabat.moist_lapse)(low[0], low[1], tables=tables)
@@ -939,6 +967,32 @@ def mixing_ratio(temperature, dewpoint, pressure):
     out = _jitted(_thermo.mixing_ratio)(*low)
     return _lift_da(out, batch_dims, coords=_coords_of(args, batch_dims),
                     name='mixing_ratio')
+
+
+def dewpoint_from_specific_humidity(pressure, temperature, specific_humidity,
+                                    vert_dim=DEFAULT_VERT_DIM):
+    """Dewpoint from specific humidity via the reference's RH chain — the
+    derivation the registry pipelines use internally
+    (reference: modules/parcel_functions.py:1888-1894, 1968-1974)."""
+    args = (pressure, temperature, specific_humidity)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = _lower_common(args, vert_dim, batch_dims)
+    out = _jitted(_thermo.dewpoint_from_specific_humidity)(*low)
+    return _lift_da(out, batch_dims, vert_dim=vert_dim,
+                    coords=_coords_of(args, batch_dims), name='dewpoint',
+                    vert_coord=_vert_coord_of(args, vert_dim))
+
+
+def dewpoint_from_relative_humidity(temperature, relative_humidity,
+                                    vert_dim=DEFAULT_VERT_DIM):
+    """Dewpoint from relative humidity (invert Bolton at e = RH * e_s(T))."""
+    args = (temperature, relative_humidity)
+    batch_dims = _batch_dims_of(args, vert_dim)
+    low = _lower_common(args, vert_dim, batch_dims)
+    out = _jitted(_thermo.dewpoint_from_relative_humidity)(*low)
+    return _lift_da(out, batch_dims, vert_dim=vert_dim,
+                    coords=_coords_of(args, batch_dims), name='dewpoint',
+                    vert_coord=_vert_coord_of(args, vert_dim))
 
 
 def virtual_temperature(temperature, mixing_ratio, epsilon=0.608):
@@ -989,7 +1043,9 @@ def _fields_of(dat, vert_dim, names=None):
                else {k: dat[k] for k in names})
     args = list(das.values())
     batch_dims = _batch_dims_of(args, vert_dim)
-    fields = {k: _lower(v, vert_dim, batch_dims) for k, v in das.items()}
+    keys = list(das)
+    low = _lower_common(args, vert_dim, batch_dims)
+    fields = dict(zip(keys, low))
     vc = _vert_coord_of(args, vert_dim)
     coords = _coords_of(args, batch_dims)
     if _is_dataset(dat):
@@ -1032,7 +1088,7 @@ def mixed_parcel(pressure, temperature, dewpoint, depth=100.0,
     (reference: modules/parcel_functions.py:229-289)."""
     args = (pressure, temperature, dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_parcels.mixed_parcel, (('depth', float(depth)),))
     return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
 
@@ -1043,7 +1099,7 @@ def most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0,
     (reference: modules/parcel_functions.py:102-135)."""
     args = (pressure, temperature, dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_parcels.most_unstable_parcel, (('depth', float(depth)),))
     return _lift(run(*low), batch_dims, coords=_coords_of(args, batch_dims))
 
@@ -1070,7 +1126,7 @@ def find_intersections(x, a, b, log_x=False, vert_dim=DEFAULT_VERT_DIM):
     (reference: modules/parcel_functions.py:992-1064)."""
     args = (x, a, b)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_ops.find_intersections, (('log_x', bool(log_x)),))
     out = {k: v for k, v in run(*low).items() if k != 'all_logx'}
     return _lift(out, batch_dims, vert_dim=vert_dim, coords=_coords_of(
@@ -1082,7 +1138,7 @@ def trapz(y, x, vert_dim=DEFAULT_VERT_DIM):
     (reference: modules/parcel_functions.py:164-206)."""
     args = (y, x)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     return _lift_da(_jitted(_ops.trapz)(*low), batch_dims,
                     coords=_coords_of(args, batch_dims), name='trapz')
 
@@ -1093,7 +1149,7 @@ def linear_interp(x, coords, at, extrapolate=False,
     (reference: modules/parcel_functions.py:1758-1811)."""
     args = (x, coords, at)
     batch_dims = _batch_dims_of(args[:2], vert_dim)
-    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_ops.linear_interp, (('extrapolate', bool(extrapolate)),))
     return _lift_da(run(*low), batch_dims,
                     coords=_coords_of(args, batch_dims), name=None)
@@ -1104,7 +1160,7 @@ def log_interp(x, coords, at, extrapolate=False, vert_dim=DEFAULT_VERT_DIM):
     (reference: modules/parcel_functions.py:1813-1828)."""
     args = (x, coords, at)
     batch_dims = _batch_dims_of(args[:2], vert_dim)
-    low = [_lower(v, vert_dim, batch_dims) for v in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_ops.log_interp, (('extrapolate', bool(extrapolate)),))
     return _lift_da(run(*low), batch_dims,
                     coords=_coords_of(args, batch_dims), name=None)
@@ -1128,7 +1184,7 @@ def bound_pressure(pressure, bound, vert_dim=DEFAULT_VERT_DIM):
     (reference: modules/parcel_functions.py:208-227)."""
     args = (pressure, bound)
     batch_dims = _batch_dims_of((pressure,), vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     return _lift_da(_jitted(_ops.bound_pressure)(*low), batch_dims,
                     coords=_coords_of(args, batch_dims),
                     name='bound_pressure')
@@ -1141,7 +1197,7 @@ def trap_around_zeros(x, y, log_x=True, start=0,
     (reference: modules/parcel_functions.py:1200-1273)."""
     args = (x, y)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_ops.trap_around_zeros, (('log_x', bool(log_x)),
                                            ('start', int(start))))
     areas, gap_mask = run(*low)
@@ -1159,7 +1215,7 @@ def cape_cin_base(pressure, temperature, lfc_pressure, el_pressure,
     args = (pressure, temperature, lfc_pressure, el_pressure,
             parcel_temperature)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_cape.cape_cin_base,
                   (('pos_cape_neg_cin', bool(pos_cape_neg_cin)),
                    ('post_zero_cin', bool(post_zero_cin))))
@@ -1196,7 +1252,7 @@ def from_most_unstable_parcel(pressure, temperature, dewpoint, depth=300.0,
     (reference: modules/parcel_functions.py:1517-1555)."""
     args = (pressure, temperature, dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_parcels.from_most_unstable_parcel,
                   (('depth', float(depth)),))
     fields, parcel = run(*low)
@@ -1215,7 +1271,7 @@ def mix_layer(pressure, temperature, dewpoint, depth=100.0,
     (reference: modules/parcel_functions.py:1604-1649)."""
     args = (pressure, temperature, dewpoint)
     batch_dims = _batch_dims_of(args, vert_dim)
-    low = [_lower(a, vert_dim, batch_dims) for a in args]
+    low = _lower_common(args, vert_dim, batch_dims)
     run = _jitted(_parcels.mix_layer, (('depth', float(depth)),))
     fields, parcel = run(*low)
     coords = _coords_of(args, batch_dims)
