@@ -113,6 +113,7 @@ def main():
                 f'output {k!r} is unintentionally all-NaN'
     assert np.isfinite(out['ship']).any(), \
         'no archive column lands inside the SHIP validity windows'
+    identical = False
     if os.path.exists(ARCHIVE):
         # Quantify the drift vs the archive being replaced (the reference's
         # current-vs-historic evaluation) and commit the record alongside.
@@ -122,6 +123,18 @@ def main():
         with open(DRIFT, 'w') as f:
             json.dump(report, f, indent=1, sort_keys=True)
         print(f'wrote {DRIFT}')
+        # Bit-identical outputs leave the committed archive untouched, so a
+        # pure drift run (committing a refreshed drift record) never churns
+        # the .npz bytes in git.
+        with np.load(ARCHIVE) as old:
+            identical = (report['equal'] and
+                         all(np.array_equal(old[f'out_{k}'], v,
+                                            equal_nan=True)
+                             for k, v in out.items()))
+    if identical:
+        print(f'{os.path.basename(ARCHIVE)} unchanged (bit-identical '
+              'outputs); archive left as committed')
+        return
     os.makedirs(os.path.dirname(ARCHIVE), exist_ok=True)
     np.savez_compressed(ARCHIVE,
                         **{f'in_{k}': v for k, v in inputs.items()},

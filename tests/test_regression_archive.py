@@ -7,12 +7,13 @@ variable, with NaN-pattern equality — any drift (dependency bump, refactor,
 constant change) fails loudly with the offending variable named.
 """
 
+import json
 import os
 
 import numpy as np
 import pytest
 
-from make_regression_archive import ARCHIVE, compute, make_inputs
+from make_regression_archive import ARCHIVE, DRIFT, compute, make_inputs
 
 
 @pytest.mark.skipif(not os.path.exists(ARCHIVE),
@@ -42,6 +43,33 @@ def test_conv_properties_regression():
         np.testing.assert_allclose(
             np.nan_to_num(a), np.nan_to_num(b), atol=1e-4 * scale, rtol=1e-6,
             err_msg=f'value drift in {k}')
+
+
+def test_committed_drift_record():
+    """Every regeneration of the archive ships with a committed drift
+    record (the reference's analogue is its committed historic archives,
+    reference: .MISSING_LARGE_BLOBS:1-2, eval nb cells 9-14):
+    tests/data/regression_drift.json must exist with the compare_archives
+    report shape, every current variable covered, and no leftover
+    cross-version key asymmetry."""
+    assert os.path.exists(DRIFT), (
+        'tests/data/regression_drift.json missing — run '
+        'python tests/make_regression_archive.py and commit the record')
+    with open(DRIFT) as f:
+        report = json.load(f)
+    assert set(report) == {'equal', 'n_differs', 'only_in_current',
+                           'only_in_historic', 'variables'}
+    assert report['n_differs'] == sum(
+        not r['within_tolerance'] for r in report['variables'])
+    names = {r['name'] for r in report['variables']}
+    with np.load(ARCHIVE) as f:
+        archived = {k[4:] for k in f.files if k.startswith('out_')}
+    # The drift record covers the archive's variable set (variables only in
+    # one side are listed in the asymmetry keys instead).
+    assert archived == names | set(report['only_in_historic'])
+    for r in report['variables']:
+        assert set(r) == {'max_abs_diff', 'max_rel_diff_pct', 'name',
+                          'nan_pattern_equal', 'within_tolerance'}
 
 
 @pytest.mark.skipif(not os.path.exists(ARCHIVE),
