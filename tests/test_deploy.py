@@ -446,6 +446,36 @@ def test_cli_export_serve_info(tables, tmp_path, capsys):
                      '-o', str(outfile)])
 
 
+def test_cli_serve_mesh_exported_artifact(tables, tmp_path, capsys):
+    """`serve --mesh 4` serves a mesh-exported SPMD artifact on a topology
+    whose local device count (8 here) differs from the exported one —
+    previously the CLI could serve such artifacts only when the counts
+    matched exactly.  Output equals the direct single-device pipeline."""
+    from xarray_parcel_tpu import parallel
+    mesh4 = parallel.make_mesh(jax.devices()[:4])
+    art = tmp_path / 'mesh4.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=8, levels=24,
+                           dtype=DTYPE, tables=tables, mesh=mesh4, path=art)
+    dat = make_dat(12, seed=61)
+    infile, outfile = tmp_path / 'in.npz', tmp_path / 'out.npz'
+    np.savez(infile, **{k: np.asarray(v) for k, v in dat.items()})
+    assert deploy.main(['serve', str(art), '--input', str(infile),
+                        '--mesh', '4', '-o', str(outfile)]) == 0
+    ref = pipeline.min_conv_properties(dat, tables=tables)
+    assert_tree_equal(dict(np.load(outfile)),
+                      {k: np.asarray(v) for k, v in ref.items()})
+    # Mismatched axis count and an unsharded artifact both fail clearly.
+    with pytest.raises(SystemExit, match='mesh axes'):
+        deploy.main(['serve', str(art), '--input', str(infile),
+                     '--mesh', '2x2', '-o', str(outfile)])
+    flat = tmp_path / 'flat.xpz'
+    deploy.export_pipeline('min_conv_properties', batch=8, levels=24,
+                           dtype=DTYPE, tables=tables, path=flat)
+    with pytest.raises(SystemExit, match='not exported with mesh'):
+        deploy.main(['serve', str(flat), '--input', str(infile),
+                     '--mesh', '8', '-o', str(outfile)])
+
+
 def test_slim_placeholders_keep_table_shapes(tables):
     """A custom pipeline that consults tables.lookup/curves SHAPES (but
     never their data) still auto-slims — and the trace-time placeholders

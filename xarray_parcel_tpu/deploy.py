@@ -691,6 +691,34 @@ def _cli_serve(args):
         # canonicalize every input to f32 and fail the export-layer
         # dtype check.
         jax.config.update('jax_enable_x64', True)
+    mesh = None
+    if args.mesh:
+        # SPMD serving on any matching topology: build the exported mesh
+        # shape from the first prod(shape) local devices.  Without this
+        # flag a mesh-exported artifact serves only when the process's
+        # device count exactly equals the exported one (Deployed._mesh).
+        want = dep.meta.get('mesh')
+        if want is None:
+            raise SystemExit('--mesh: this artifact was not exported with '
+                             'mesh= (see `info`); it serves unsharded')
+        try:
+            shape = tuple(int(s) for s in args.mesh.lower().split('x'))
+        except ValueError:
+            raise SystemExit(f"--mesh {args.mesh!r}: expected e.g. '8' or "
+                             "'4x2'") from None
+        names = tuple(want['axis_names'])
+        if len(shape) != len(names):
+            raise SystemExit(
+                f'--mesh {args.mesh!r} has {len(shape)} axes; the artifact '
+                f'was exported on {len(names)} mesh axes {names} of shape '
+                f'{tuple(want["shape"])}')
+        n = int(np.prod(shape))
+        devices = jax.devices()
+        if len(devices) < n:
+            raise SystemExit(f'--mesh {args.mesh!r} needs {n} devices; '
+                             f'{len(devices)} available')
+        from .parallel import make_mesh
+        mesh = make_mesh(devices[:n], axis_names=names, shape=shape)
     tables = None
     if args.tables:
         tables = adiabat.AdiabatTables.load(args.tables)
@@ -707,7 +735,8 @@ def _cli_serve(args):
     want = np.dtype(dep.meta.get('dtype', 'float32'))
     dat = {k: v.astype(want, copy=False) if v.dtype.kind == 'f' else v
            for k, v in dat.items()}
-    out = dep(dat, tables=tables)
+    out = dep(dat, tables=tables, mesh=mesh)
+    out = dep._host(out)
     # Write through a file handle: np.savez on a PATH silently appends
     # '.npz' when the extension is missing, making the printed name lie.
     with open(args.output, 'wb') as f:
@@ -762,6 +791,10 @@ def main(argv=None):
                     help='table .npz (full-table artifacts only)')
     ps.add_argument('--cache', default=None,
                     help='persistent compile-cache directory')
+    ps.add_argument('--mesh', default=None,
+                    help="serving mesh shape for a mesh-exported artifact, "
+                         "e.g. '8' or '4x2' (matches the exported axis "
+                         "shape; uses the first N local devices)")
     ps.set_defaults(run=_cli_serve)
 
     pi = sub.add_parser('info', help='print artifact metadata')
