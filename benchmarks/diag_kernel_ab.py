@@ -21,7 +21,6 @@ Usage: python benchmarks/diag_kernel_ab.py   (repo root, TPU backend)
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -32,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, '.')
 import bench  # noqa: E402
-from xarray_parcel_tpu import adiabat, deploy, pipeline, thermo  # noqa: E402
+import ab_harness  # noqa: E402
+from xarray_parcel_tpu import pipeline, thermo  # noqa: E402
 from xarray_parcel_tpu import diagnostics as diag  # noqa: E402
 from xarray_parcel_tpu.ops import interp_many  # noqa: E402
 from xarray_parcel_tpu.pipeline import _fused_solve  # noqa: E402
@@ -140,17 +140,7 @@ def pipe_kdiag(dat, tables):
 
 
 def main():
-    bench.wait_for_backend()
-    import os
-    deploy.enable_compilation_cache(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     '.xla_cache'), min_compile_time_secs=2.0)
-    bench.log(f'backend={jax.default_backend()}')
-    tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
-    tables = jax.tree_util.tree_map(jax.device_put, tables)
-    jax.block_until_ready(tables.curves)
-
-    dat = {k: jnp.asarray(v) for k, v in bench.synthetic(B).items()}
+    tables, dat = ab_harness.setup(B)
     p, t, q = dat['pressure'], dat['temperature'], dat['specific_humidity']
     dew0 = jax.jit(thermo.dewpoint_from_specific_humidity)(p, t, q)
     h = dat['height_asl']
@@ -163,19 +153,7 @@ def main():
         'pipe_k': (jax.jit(lambda d: pipe_kdiag(d, tables)), (dat,)),
     }
 
-    for name, (fn, args) in arms.items():
-        t0 = time.perf_counter()
-        for attempt in range(4):
-            try:
-                bench._materialize(fn(*args))
-                break
-            except Exception as e:
-                if attempt == 3:
-                    raise
-                bench.log(f'  {name} compile attempt {attempt + 1} failed '
-                          f'({str(e)[:80]!r}); retrying')
-                time.sleep(5)
-        bench.log(f'{name}: compiled+first in {time.perf_counter() - t0:.1f}s')
+    ab_harness.compile_arms(arms)
 
     # Kernel-vs-XLA agreement on the tail outputs.
     ax = arms['dxla'][0](p, t, dew0, h)
@@ -189,16 +167,7 @@ def main():
         worst.append((name, nanm, round(d, 8)))
     bench.log(f'tail agreement (nan-mismatch, max abs): {worst}')
 
-    best = {name: float('inf') for name in arms}
-    for r in range(ROUNDS):
-        for name, (fn, args) in arms.items():
-            t0 = time.perf_counter()
-            outs = [fn(*args) for _ in range(ITERS)]
-            for out in outs:
-                bench._materialize(out)
-            sec = (time.perf_counter() - t0) / ITERS
-            best[name] = min(best[name], sec)
-            bench.log(f'round {r} {name}: {sec * 1e3:.1f} ms')
+    best = ab_harness.time_arms(arms, rounds=ROUNDS, iters=ITERS)
 
     ms = {k: round(v * 1e3, 2) for k, v in best.items()}
     print(json.dumps({

@@ -23,14 +23,14 @@ Usage: python benchmarks/pipeline_bisect.py   (repo root, TPU backend)
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, '.')
 import bench  # noqa: E402
-from xarray_parcel_tpu import adiabat, deploy, pipeline, thermo  # noqa: E402
+import ab_harness  # noqa: E402
+from xarray_parcel_tpu import pipeline, thermo  # noqa: E402
 from xarray_parcel_tpu.parcels import (bridge_neighbors,  # noqa: E402
                                        conserved_fields,
                                        from_most_unstable_parcel, mix_layer)
@@ -42,17 +42,7 @@ ITERS = 5
 
 
 def main():
-    bench.wait_for_backend()
-    import os
-    deploy.enable_compilation_cache(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     '.xla_cache'), min_compile_time_secs=2.0)
-    bench.log(f'backend={jax.default_backend()}')
-    tables = adiabat.load_moist_adiabat_lookups(dtype=jnp.float32)
-    tables = jax.tree_util.tree_map(jax.device_put, tables)
-    jax.block_until_ready(tables.curves)
-
-    dat = {k: jnp.asarray(v) for k, v in bench.synthetic(B).items()}
+    tables, dat = ab_harness.setup(B)
 
     def truncated(dat, n_solves):
         """The production pipeline's exact prefix: preps + first n solves.
@@ -110,30 +100,9 @@ def main():
         'p0': (jax.jit(lambda d: truncated(d, 0)), (dat,)),
     }
 
-    for name, (fn, args) in arms.items():
-        t0 = time.perf_counter()
-        for attempt in range(4):
-            try:
-                bench._materialize(fn(*args))
-                break
-            except Exception as e:
-                if attempt == 3:
-                    raise
-                bench.log(f'  {name} compile attempt {attempt + 1} failed '
-                          f'({str(e)[:80]!r}); retrying')
-                time.sleep(5)
-        bench.log(f'{name}: compiled+first in {time.perf_counter() - t0:.1f}s')
+    ab_harness.compile_arms(arms)
 
-    best = {name: float('inf') for name in arms}
-    for r in range(ROUNDS):
-        for name, (fn, args) in arms.items():
-            t0 = time.perf_counter()
-            outs = [fn(*args) for _ in range(ITERS)]
-            for out in outs:
-                bench._materialize(out)
-            sec = (time.perf_counter() - t0) / ITERS
-            best[name] = min(best[name], sec)
-            bench.log(f'round {r} {name}: {sec * 1e3:.1f} ms')
+    best = ab_harness.time_arms(arms, rounds=ROUNDS, iters=ITERS)
 
     ms = {k: round(v * 1e3, 2) for k, v in best.items()}
     net = {k: round(v - ms['null'], 2) for k, v in ms.items() if k != 'null'}
