@@ -61,45 +61,66 @@ def main():
                         d, tables=tables32).items()})
         return out
 
+    def run_xla(d):
+        # The modular (no-Pallas) path in the same fp32 on the same chip:
+        # isolates Mosaic-lowering error from the TPU's fp32 arithmetic
+        # (transcendental approximations, fused op reassociation).
+        out = pipeline.conv_properties(d, tables=tables32)
+        out.update(pipeline.storm_proxies(out))
+        return out
+
     bench.log(f'running fused pipelines on {jax.default_backend()} '
               f'({B} archive columns padded to {PAD})')
     out = jax.jit(run)(dat)
     bench._materialize(out)
     out = {k: np.asarray(v)[:B].reshape(shape + np.shape(v)[1:])
            for k, v in out.items()}
+    bench.log('running modular XLA pipeline (attribution arm)')
+    out_x = jax.jit(run_xla)(dat)
+    bench._materialize(out_x)
+    out_x = {k: np.asarray(v)[:B].reshape(shape + np.shape(v)[1:])
+             for k, v in out_x.items()}
 
-    rows = {}
-    worst = {'p95': 0.0, 'max': 0.0, 'nan_flips': 0.0, 'proxy_flips': 0.0}
-    missing = sorted(set(expect) - set(out))
-    for k in sorted(set(out) & set(expect)):
-        a = expect[k]                       # committed fp64
-        b = out[k]
-        if a.dtype == bool:
-            flips = float(np.mean(a != b.astype(bool)))
-            rows[k] = {'proxy_flips': flips}
-            worst['proxy_flips'] = max(worst['proxy_flips'], flips)
-            continue
-        b = b.astype(np.float64)
-        nanflips = float(np.mean(np.isnan(a) != np.isnan(b)))
-        both = ~np.isnan(a) & ~np.isnan(b)
-        scale = max(1.0, float(np.nanmax(np.abs(a))))
-        d = (np.abs(a[both] - b[both]) / scale) if both.any() else \
-            np.zeros(1)
-        rows[k] = {'p95_rel': float(np.quantile(d, 0.95)),
-                   'max_rel': float(d.max()), 'nan_flips': nanflips,
-                   'scale': scale}
-        worst['p95'] = max(worst['p95'], rows[k]['p95_rel'])
-        worst['max'] = max(worst['max'], rows[k]['max_rel'])
-        worst['nan_flips'] = max(worst['nan_flips'], nanflips)
-        bench.log(f'{k:28} p95 {rows[k]["p95_rel"]:.2e} '
-                  f'max {rows[k]["max_rel"]:.2e} nan {nanflips:.3f}')
+    def envelope(got, label):
+        rows = {}
+        worst = {'p95': 0.0, 'max': 0.0, 'nan_flips': 0.0,
+                 'proxy_flips': 0.0}
+        for k in sorted(set(got) & set(expect)):
+            a = expect[k]                       # committed fp64
+            b = got[k]
+            if a.dtype == bool:
+                flips = float(np.mean(a != b.astype(bool)))
+                rows[k] = {'proxy_flips': flips}
+                worst['proxy_flips'] = max(worst['proxy_flips'], flips)
+                continue
+            b = b.astype(np.float64)
+            nanflips = float(np.mean(np.isnan(a) != np.isnan(b)))
+            both = ~np.isnan(a) & ~np.isnan(b)
+            scale = max(1.0, float(np.nanmax(np.abs(a))))
+            d = (np.abs(a[both] - b[both]) / scale) if both.any() else \
+                np.zeros(1)
+            rows[k] = {'p95_rel': float(np.quantile(d, 0.95)),
+                       'max_rel': float(d.max()), 'nan_flips': nanflips,
+                       'scale': scale}
+            worst['p95'] = max(worst['p95'], rows[k]['p95_rel'])
+            worst['max'] = max(worst['max'], rows[k]['max_rel'])
+            worst['nan_flips'] = max(worst['nan_flips'], nanflips)
+            bench.log(f'{label} {k:28} p95 {rows[k]["p95_rel"]:.2e} '
+                      f'max {rows[k]["max_rel"]:.2e} nan {nanflips:.3f}')
+        return rows, worst
+
+    rows, worst = envelope(out, 'fused')
+    rows_x, worst_x = envelope(out_x, 'xla')
+    missing = sorted(set(expect) - set(out) - set(out_x))
 
     ok = (worst['p95'] <= 1e-4 and worst['nan_flips'] <= 0.01 and
           worst['proxy_flips'] <= 0.05)
     result = {'backend': jax.default_backend(),
               'grid': list(shape) + [int(inputs['pressure'].shape[-1])],
               'worst': worst, 'budget_met': bool(ok),
-              'variables': rows, 'missing_vs_archive': missing}
+              'variables': rows,
+              'xla_worst': worst_x, 'xla_variables': rows_x,
+              'missing_vs_archive': missing}
     os.makedirs(os.path.join('benchmarks', 'results'), exist_ok=True)
     path = os.path.join('benchmarks', 'results',
                         f'accuracy_tpu_{tag}.json')
