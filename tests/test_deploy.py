@@ -447,15 +447,18 @@ def test_cli_export_serve_info(tables, tmp_path, capsys):
 
 
 def test_cli_serve_mesh_exported_artifact(tables, tmp_path, capsys):
-    """`serve --mesh 4` serves a mesh-exported SPMD artifact on a topology
-    whose local device count (8 here) differs from the exported one —
-    previously the CLI could serve such artifacts only when the counts
-    matched exactly.  Output equals the direct single-device pipeline."""
-    from xarray_parcel_tpu import parallel
-    mesh4 = parallel.make_mesh(jax.devices()[:4])
+    """Full CLI SPMD round trip: `export --mesh 4` then `serve --mesh 4`
+    on a topology whose local device count (8 here) differs from the
+    exported one — previously mesh export was Python-API-only and the CLI
+    could serve sharded artifacts only when the counts matched exactly.
+    Output equals the direct single-device pipeline."""
     art = tmp_path / 'mesh4.xpz'
-    deploy.export_pipeline('min_conv_properties', batch=8, levels=24,
-                           dtype=DTYPE, tables=tables, mesh=mesh4, path=art)
+    assert deploy.main(['export', '--pipeline', 'min_conv_properties',
+                        '--batch', '8', '--levels', '24',
+                        '--dtype', 'float64', '--mesh', '4',
+                        '-o', str(art)]) == 0
+    assert deploy.load(art).meta['mesh'] == {'axis_names': ['data'],
+                                             'shape': [4]}
     dat = make_dat(12, seed=61)
     infile, outfile = tmp_path / 'in.npz', tmp_path / 'out.npz'
     np.savez(infile, **{k: np.asarray(v) for k, v in dat.items()})

@@ -637,6 +637,26 @@ def load(path):
     return Deployed(exported, meta, embedded=embedded)
 
 
+def _parse_mesh_spec(spec):
+    """'8' -> (8,); '4x2' -> (4, 2) — SystemExit on anything else."""
+    try:
+        return tuple(int(s) for s in spec.lower().split('x'))
+    except ValueError:
+        raise SystemExit(f"--mesh {spec!r}: expected e.g. '8' or "
+                         "'4x2'") from None
+
+
+def _build_cli_mesh(shape, names):
+    """Mesh of the given axis shape/names from the first N local devices."""
+    n = int(np.prod(shape))
+    devices = jax.devices()
+    if len(devices) < n:
+        raise SystemExit(f'mesh shape {shape} needs {n} devices; '
+                         f'{len(devices)} available')
+    from .parallel import make_mesh
+    return make_mesh(devices[:n], axis_names=names, shape=shape)
+
+
 def _cli_export(args):
     slim = {'auto': None, 'true': True, 'false': False}[args.slim]
     if np.dtype(args.dtype).itemsize == 8:
@@ -666,11 +686,21 @@ def _cli_export(args):
                 dtype=arrays['curves'].dtype))
         tables = adiabat.AdiabatTables(arrays['curves'], arrays['lookup'],
                                        coeffs)
+    mesh = None
+    if args.mesh:
+        # SPMD export from the CLI: the batch dim shards over the FIRST
+        # axis; extra axes replicate (e.g. '4x2').  Axis names follow the
+        # library convention so `serve --mesh` round-trips.
+        shape = _parse_mesh_spec(args.mesh)
+        if len(shape) > 2:
+            raise SystemExit(f'--mesh {args.mesh!r}: at most 2 axes '
+                             '(batch x replication)')
+        mesh = _build_cli_mesh(shape, ('data', 'model')[:len(shape)])
     dep = export_pipeline(
         args.pipeline,
         batch=None if args.polymorphic else args.batch,
         levels=args.levels, wind_levels=args.wind_levels,
-        dtype=np.dtype(args.dtype), tables=tables,
+        dtype=np.dtype(args.dtype), tables=tables, mesh=mesh,
         polymorphic=args.polymorphic,
         platforms=args.platforms.split(',') if args.platforms else None,
         slim=slim, path=args.output)
@@ -701,24 +731,14 @@ def _cli_serve(args):
         if want is None:
             raise SystemExit('--mesh: this artifact was not exported with '
                              'mesh= (see `info`); it serves unsharded')
-        try:
-            shape = tuple(int(s) for s in args.mesh.lower().split('x'))
-        except ValueError:
-            raise SystemExit(f"--mesh {args.mesh!r}: expected e.g. '8' or "
-                             "'4x2'") from None
+        shape = _parse_mesh_spec(args.mesh)
         names = tuple(want['axis_names'])
         if len(shape) != len(names):
             raise SystemExit(
                 f'--mesh {args.mesh!r} has {len(shape)} axes; the artifact '
                 f'was exported on {len(names)} mesh axes {names} of shape '
                 f'{tuple(want["shape"])}')
-        n = int(np.prod(shape))
-        devices = jax.devices()
-        if len(devices) < n:
-            raise SystemExit(f'--mesh {args.mesh!r} needs {n} devices; '
-                             f'{len(devices)} available')
-        from .parallel import make_mesh
-        mesh = make_mesh(devices[:n], axis_names=names, shape=shape)
+        mesh = _build_cli_mesh(shape, names)
     tables = None
     if args.tables:
         tables = adiabat.AdiabatTables.load(args.tables)
@@ -779,6 +799,11 @@ def main(argv=None):
                     choices=('auto', 'true', 'false'))
     pe.add_argument('--tables', default=None,
                     help='table .npz (default: the cached build)')
+    pe.add_argument('--mesh', default=None,
+                    help="export the SPMD program over a device mesh of "
+                         "this shape, e.g. '8' or '4x2' (batch shards "
+                         "over the first axis; uses the first N local "
+                         "devices)")
     pe.add_argument('-o', '--output', required=True)
     pe.set_defaults(run=_cli_export)
 
