@@ -45,7 +45,8 @@ from test_integration_serial import make_grid
 
 ML = dict(moist_lapse=adiabat.moist_lapse_integrate)
 N, L = 12, 48
-CASES = ('dup_pressure', 'interior_nan', 'near_envelope', 'deep_depression')
+CASES = ('dup_pressure', 'interior_nan', 'near_envelope',
+         'deep_depression', 'combined')
 
 
 def _mutate(case, p, t, td, rng):
@@ -80,6 +81,22 @@ def _mutate(case, p, t, td, rng):
         td[:, 0] = t[:, 0] - depr
         # Drying continues above so the surface stays the launch candidate.
         td[:, 1:6] = np.minimum(td[:, 1:6], (td[:, 0] - 1.0)[:, None])
+    elif case == 'combined':
+        # All three adversarial features on one grid (a third of the
+        # columns each) — interactions between the mutation classes.
+        for j in range(p.shape[0]):
+            if j % 3 == 0:
+                k = int(rng.integers(4, L - 6))
+                p[j, k + 1] = p[j, k]
+            elif j % 3 == 1:
+                k = int(rng.integers(34, L - 8))
+                w = int(rng.integers(2, 5))
+                p[j, k:k + w] = t[j, k:k + w] = td[j, k:k + w] = np.nan
+            else:
+                td[j, 0] = t[j, 0] - float(rng.uniform(9.0, 15.0))
+                td[j, 1:6] = np.minimum(td[j, 1:6], td[j, 0] - 1.0)
+        for j in range(0, p.shape[0], 3):
+            p[j] = -np.sort(-p[j])
     return p, t, td
 
 
@@ -291,4 +308,8 @@ def test_sweep_grids_are_adversarial(sweep):
     elif case == 'deep_depression':
         # Deep depressions launch high LCLs; some columns must still
         # convect so the comparison is not vacuous.
+        assert np.isfinite(vec['mu_cape']).any()
+    elif case == 'combined':
+        assert any(len(d) for d in dup_p)
+        assert (nan_pmax > 0).any()
         assert np.isfinite(vec['mu_cape']).any()

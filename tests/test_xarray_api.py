@@ -1065,6 +1065,26 @@ def test_diagnostic_names_follow_parameters(dat):
     assert lr2.name == 'lapse_rate_850_700'
 
 
+def test_parameterized_diagnostic_attrs(dat):
+    """Non-default isobar/lapse outputs keep units/long_name, with the
+    actual pressures substituted into the description (attrs_for pattern
+    match — only temp_500/lapse_rate_700_500 are registered verbatim)."""
+    from xarray_parcel_tpu.fieldset import attrs_for
+    a = attrs_for('temp_850')
+    assert a['units'] == 'K' and a['long_name'] == 'Isobar temperature'
+    assert '850' in a['description']
+    a = attrs_for('lapse_rate_850_700')
+    assert a['long_name'] == 'Lapse rate' and '850' in a['description'] \
+        and '700' in a['description']
+    # The pattern only matches numeric-parameterized names.
+    assert attrs_for('temp_hot') == {}
+    # End to end: the lifted DataArray carries the pattern attrs.
+    da850 = xarray_api.isobar_temperature(dat['pressure'],
+                                          dat['temperature'], isobar=850.0)
+    assert da850.attrs.get('units') == 'K'
+    assert '850' in da850.attrs.get('description', '')
+
+
 def test_ops_names_filter_applies_to_dicts(dat):
     """get_layer(dict, names=...) excludes unrequested variables for
     plain-dict input just as it does for Datasets."""
