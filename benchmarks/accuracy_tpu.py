@@ -45,6 +45,9 @@ def main():
         expect = {k[4:]: f[k] for k in f.files if k.startswith('out_')}
     shape = inputs['pressure'].shape[:-1]
     B = int(np.prod(shape))
+    assert B <= PAD, (
+        f'archive grid has {B} columns > the {PAD}-column kernel block; '
+        'raise PAD (next multiple of 256) to run it')
 
     def flat_pad(v):
         v = np.asarray(v, np.float32).reshape((B,) + v.shape[len(shape):])

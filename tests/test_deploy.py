@@ -467,8 +467,8 @@ def test_cli_serve_mesh_exported_artifact(tables, tmp_path, capsys):
     ref = pipeline.min_conv_properties(dat, tables=tables)
     assert_tree_equal(dict(np.load(outfile)),
                       {k: np.asarray(v) for k, v in ref.items()})
-    # Mismatched axis count and an unsharded artifact both fail clearly.
-    with pytest.raises(SystemExit, match='mesh axes'):
+    # Mismatched mesh shape and an unsharded artifact both fail clearly.
+    with pytest.raises(SystemExit, match='must match it'):
         deploy.main(['serve', str(art), '--input', str(infile),
                      '--mesh', '2x2', '-o', str(outfile)])
     flat = tmp_path / 'flat.xpz'

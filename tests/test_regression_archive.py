@@ -45,6 +45,8 @@ def test_conv_properties_regression():
             err_msg=f'value drift in {k}')
 
 
+@pytest.mark.skipif(not os.path.exists(ARCHIVE),
+                    reason='archive not generated')
 def test_committed_drift_record():
     """Every regeneration of the archive ships with a committed drift
     record (the reference's analogue is its committed historic archives,

@@ -640,10 +640,13 @@ def load(path):
 def _parse_mesh_spec(spec):
     """'8' -> (8,); '4x2' -> (4, 2) — SystemExit on anything else."""
     try:
-        return tuple(int(s) for s in spec.lower().split('x'))
+        shape = tuple(int(s) for s in spec.lower().split('x'))
     except ValueError:
         raise SystemExit(f"--mesh {spec!r}: expected e.g. '8' or "
                          "'4x2'") from None
+    if not shape or any(s < 1 for s in shape):
+        raise SystemExit(f'--mesh {spec!r}: axis sizes must be positive')
+    return shape
 
 
 def _build_cli_mesh(shape, names):
@@ -695,6 +698,14 @@ def _cli_export(args):
         if len(shape) > 2:
             raise SystemExit(f'--mesh {args.mesh!r}: at most 2 axes '
                              '(batch x replication)')
+        if args.polymorphic:
+            raise SystemExit('--mesh and --polymorphic are mutually '
+                             'exclusive (a symbolic batch cannot carry a '
+                             'fixed sharding); export a fixed batch')
+        if args.batch % shape[0]:
+            raise SystemExit(
+                f'--batch {args.batch} is not divisible by the '
+                f'{shape[0]}-way batch axis of --mesh {args.mesh!r}')
         mesh = _build_cli_mesh(shape, ('data', 'model')[:len(shape)])
     dep = export_pipeline(
         args.pipeline,
@@ -733,11 +744,14 @@ def _cli_serve(args):
                              'mesh= (see `info`); it serves unsharded')
         shape = _parse_mesh_spec(args.mesh)
         names = tuple(want['axis_names'])
-        if len(shape) != len(names):
+        # The exported HloShardings are positional: the serving mesh must
+        # reproduce the exported axis SHAPE exactly — say so here rather
+        # than letting Deployed._mesh raise mid-serve.
+        if shape != tuple(want['shape']):
             raise SystemExit(
-                f'--mesh {args.mesh!r} has {len(shape)} axes; the artifact '
-                f'was exported on {len(names)} mesh axes {names} of shape '
-                f'{tuple(want["shape"])}')
+                f'--mesh {args.mesh!r}: the artifact was exported on a '
+                f'mesh of shape {"x".join(str(s) for s in want["shape"])} '
+                f'(axes {names}); the serving mesh must match it')
         mesh = _build_cli_mesh(shape, names)
     tables = None
     if args.tables:

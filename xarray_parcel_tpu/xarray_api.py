@@ -381,25 +381,51 @@ def from_dataset(dat, vert_dim=DEFAULT_VERT_DIM, variables=None, mesh=None,
     return fields, batch_dims
 
 
-def _broadcast_fields(fields, dat, batch_dims, vert_dim):
-    """Broadcast each lowered field onto the FULL batch shape (as zero-copy
-    views) so leading-axis chunking/padding/sharding — and the pipelines'
-    shape-uniform core — are well-defined for variables that carry only a
-    subset of the batch dims.  Fields may arrive at their natural
-    (trailing-aligned) shape or with size-1 axes for missing interior
-    dims; both broadcast to the full target."""
+def _batch_shape_of(fields, dat, batch_dims, vert_dim):
+    """(full batch shape, names of vert-carrying fields) for broadcasting
+    subset-dim variables onto the grid."""
     sizes = {}
     for name in fields:
         for d, s in zip(dat[name].dims, dat[name].shape):
             if d != vert_dim:
                 sizes[d] = int(s)
     batch_shape = tuple(sizes[d] for d in batch_dims)
+    vert_names = frozenset(n for n in fields if vert_dim in dat[n].dims)
+    return batch_shape, vert_names
+
+
+def _broadcast_fields(fields, dat, batch_dims, vert_dim):
+    """Broadcast each lowered field onto the FULL batch shape (as zero-copy
+    host views) so leading-axis chunking/padding/sharding is well-defined
+    for variables that carry only a subset of the batch dims.  Fields may
+    arrive at their natural (trailing-aligned) shape or with size-1 axes
+    for missing interior dims; both broadcast to the full target.  The
+    views densify at device placement — used only where a real leading
+    batch axis is required (sharding, chunking, column flattening); the
+    plain pipeline path broadcasts at trace time instead
+    (:func:`_broadcast_run`)."""
+    batch_shape, vert_names = _batch_shape_of(fields, dat, batch_dims,
+                                              vert_dim)
     out = {}
     for name, v in fields.items():
-        trail = v.shape[-1:] if vert_dim in dat[name].dims else ()
-        target = batch_shape + trail
+        target = batch_shape + (v.shape[-1:] if name in vert_names else ())
         out[name] = v if v.shape == target else np.broadcast_to(v, target)
     return out
+
+
+def _broadcast_run(fields, tables=None, _fn=None, _batch_shape=(),
+                   _vert_names=frozenset(), **kwargs):
+    """Jitted adapter: broadcast subset-dim fields onto the full batch at
+    TRACE time (an XLA broadcast fuses for free on device), so a 1-D
+    pressure coordinate-variable ships ~L floats host->device instead of
+    a densified full-grid copy."""
+    import jax.numpy as jnp
+    expanded = {
+        k: jnp.broadcast_to(
+            v, tuple(_batch_shape) +
+            ((v.shape[-1],) if k in _vert_names else ()))
+        for k, v in fields.items()}
+    return _fn(expanded, tables=tables, **kwargs)
 
 
 def to_dataset(result, batch_dims, coords=None, vert_dim=DEFAULT_VERT_DIM):
@@ -438,15 +464,29 @@ def _dataset_pipeline(fn):
                 'mesh=/stream_columns= need at least one non-vertical '
                 '(batch) dim — a single-column Dataset would chunk/shard '
                 'its LEVEL axis')
-        # Every field on the full batch shape (zero-copy host views): the
-        # pipeline cores assume shape-uniform inputs (e.g. mix_layer
-        # broadcasts temperature to pressure.shape), and leading-axis
-        # padding/chunking/sharding must never split a non-batch axis of
-        # a subset-dim variable (a 1-D pressure coordinate-variable,
-        # time-invariant surface winds).
-        fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
+        # The pipeline cores assume shape-uniform inputs (e.g. mix_layer
+        # broadcasts temperature to pressure.shape).  On the mesh/stream
+        # paths every field gets a REAL full batch shape via host views
+        # (leading-axis padding/chunking/sharding must never split a
+        # non-batch axis of a subset-dim variable); on the plain path
+        # subset-dim fields stay at their natural size and broadcast at
+        # trace time, so only ~their own bytes cross to the device.
+        batch_shape, vert_names = _batch_shape_of(fields, dat, batch_dims,
+                                                  vert_dim)
+        uniform = all(
+            v.shape == batch_shape + (v.shape[-1:] if n in vert_names
+                                      else ())
+            for n, v in fields.items())
+        if mesh is not None or stream_columns:
+            fields = _broadcast_fields(fields, dat, batch_dims, vert_dim)
         tables = _resolve_tables(tables)
-        run = _jitted(fn, sorted(kwargs.items()))
+        if uniform or mesh is not None or stream_columns:
+            run = _jitted(fn, sorted(kwargs.items()))
+        else:
+            run = _jitted(_broadcast_run,
+                          (('_fn', fn), ('_batch_shape', batch_shape),
+                           ('_vert_names', vert_names),
+                           *sorted(kwargs.items())))
         if stream_columns:
             from .parallel import stream_map
             out = stream_map(lambda d: run(d, tables=tables), fields,
