@@ -231,14 +231,24 @@ def test_parcel_variants_vs_serial(sweep, name):
                       np.array([np.nanmin(col) for col in p]),
                       ser[f'{name}_el'])
     same &= (nan_pmax == 0) | (nan_pmax < el_eff)
-    # Knife-edge filter: when the LFC/EL coincides (to ulps) with a
-    # DUPLICATED data level — a zero-width crossing lands exactly on the
-    # level — window inclusion of the adjacent finite trapezoid flips on
-    # 1-ulp rounding (the oracle's exp(log p) round-trip vs the vector's
-    # all-log comparison; the reference has the same exp round-trip).
+    # Knife-edge filters for duplicated levels:
+    # (a) when the LFC/EL coincides (to ulps) with a duplicated data
+    #     level — a zero-width crossing lands exactly on the level —
+    #     window inclusion of the adjacent finite trapezoid flips on
+    #     1-ulp rounding (the oracle's exp(log p) round-trip vs the
+    #     vector's all-log comparison; the reference has the same exp
+    #     round-trip);
+    # (b) when the variant's LAUNCH pressure is itself duplicated: the
+    #     vector matches the reference's pressure-threshold subsetting
+    #     (``where(pressure <= parcel.pressure)``, reference :1551-1553)
+    #     and keeps BOTH twins, while the oracle's index slicing keeps
+    #     one — the spurious twin's environment discontinuity enters the
+    #     integral on the vector/reference side only.
     for j in range(N):
         if len(dup_p[j]) and same[j]:
-            edges = [ser[f'{name}_lfc'][j], ser[f'{name}_el'][j]]
+            launch = (ser['mu_parcel_pressure'][j] if name == 'mu'
+                      else p[j][~np.isnan(p[j])][0])
+            edges = [ser[f'{name}_lfc'][j], ser[f'{name}_el'][j], launch]
             if any(np.nanmin(np.abs(dup_p[j] - e)) < 1e-6
                    for e in edges if np.isfinite(e)):
                 same[j] = False
