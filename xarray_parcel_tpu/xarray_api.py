@@ -213,7 +213,10 @@ def _lower_common(args, vert_dim, batch_dims):
     their common shape: a mixed-dims call (1-D pressure coordinate-
     variable next to full-grid temperature) reaches the core functions as
     mutually broadcast arrays, exactly as xarray auto-broadcasting hands
-    the reference's functions full-grid operands."""
+    the reference's functions full-grid operands.  The host views densify
+    at device placement — the same cost xarray auto-broadcast pays; the
+    Dataset PIPELINES avoid it by broadcasting at trace time instead
+    (:func:`_broadcast_run`)."""
     low = [_lower(a, vert_dim, batch_dims) for a in args]
     idx = [i for i, a in enumerate(args)
            if vert_dim is not None and hasattr(a, 'dims')
