@@ -1023,6 +1023,24 @@ def test_mixed_dims_mesh_ingest_matches_direct(dat_mixed_dims):
     _assert_wobble_equal(out, ref)
 
 
+def test_mixed_dims_stream_ingest_matches_direct(dat_mixed_dims):
+    """conv_properties(mixed-dims dat, stream_columns=): chunking a
+    subset-dim grid broadcasts to the full batch first (host views), so
+    chunk boundaries never split a non-batch axis; streamed equals the
+    plain mixed-dims run up to batch-shape recompile wobble."""
+    mixed, _ = dat_mixed_dims
+    ref = xarray_api.conv_properties(mixed)
+    out = xarray_api.conv_properties(mixed, stream_columns=5)
+    for k in ref.data_vars:
+        a, b = np.asarray(out[k]), np.asarray(ref[k])
+        if a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+            continue
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   rtol=1e-4, atol=1e-9, err_msg=k)
+
+
 def test_mixed_dims_per_function_surface(dat_mixed_dims):
     """The per-function surface lays out mixed-dims arguments by the
     UNION of batch dims (1-D pressure next to 3-D temperature)."""
