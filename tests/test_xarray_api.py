@@ -1095,6 +1095,25 @@ def test_diagnostic_names_follow_parameters(dat):
     assert lr2.name == 'lapse_rate_850_700'
 
 
+def test_dewpoint_wrappers_consistent(dat):
+    """dewpoint_from_relative_humidity inverts the RH the q-route
+    computes: chaining RH -> dewpoint reproduces the q-route dewpoint."""
+    from xarray_parcel_tpu import thermo
+    import jax.numpy as jnp
+    p = np.asarray(dat['pressure'].values)
+    t = np.asarray(dat['temperature'].values)
+    q = np.asarray(dat['specific_humidity'].values)
+    dew_q = xarray_api.dewpoint_from_specific_humidity(
+        dat['pressure'], dat['temperature'], dat['specific_humidity'])
+    rh = np.asarray(thermo.relative_humidity_from_specific_humidity(
+        jnp.asarray(p), jnp.asarray(t), jnp.asarray(q)))
+    dew_rh = xarray_api.dewpoint_from_relative_humidity(
+        dat['temperature'], xr.DataArray(rh, dims=dat['temperature'].dims))
+    assert dew_rh.name == 'dewpoint'
+    np.testing.assert_allclose(np.asarray(dew_rh), np.asarray(dew_q),
+                               rtol=1e-12)
+
+
 def test_parameterized_diagnostic_attrs(dat):
     """Non-default isobar/lapse outputs keep units/long_name, with the
     actual pressures substituted into the description (attrs_for pattern

@@ -168,7 +168,12 @@ class Dataset:
 
 
 def merge(objects):
-    """Merge Datasets/named DataArrays into one Dataset (last wins)."""
+    """Merge Datasets/named DataArrays into one Dataset (last wins).
+
+    Convenience only — the library boundary never calls it.  NOTE: real
+    xarray's ``merge`` default (``compat='no_conflicts'``) RAISES on
+    conflicting values where this shim lets the last write win; don't
+    rely on shim merges to detect conflicts."""
     out = Dataset()
     for obj in objects:
         if isinstance(obj, DataArray):
