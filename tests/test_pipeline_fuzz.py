@@ -26,9 +26,12 @@ acceptance surface, reference: modules/parcel_test.py:276-414):
 Every oracle-covered variable must agree within the established tier-2
 tolerances on same-branch, same-parcel columns, and the branch filters
 must keep a real fraction of each grid (no vacuous pass).  The same
-harness was run exploratorily over 150 HELD-OUT seeded grids (seeds
-500-509, 600-619, all five classes; round-5 logs): 4,929 comparable
-variant-columns, zero deviations.
+harness was run exploratorily over 210 HELD-OUT seeded grids — seeds
+500-509 + 600-619 on the base climate, plus 60 grids in cold-stable and
+tropical-moist regimes (seeds 700-705; 1,198 of their comparable columns
+sit in the zero-CAPE/no-LFC substitution-rule branch the base climate
+rarely hits) — 6,761 comparable variant-columns, zero deviations
+(round-5 logs).
 
 The vector side runs the production ``conv_properties`` itself (exact-ODE
 moist-lapse backend for logic-identity with the oracle's solve_ivp), with
