@@ -309,6 +309,55 @@ def test_scalar_diagnostics_vs_serial(sweep):
         assert d.max() < tol, f'{case}: {var} max diff {d.max():.3e}'
 
 
+def test_fused_matches_modular_on_adversarial_grids(sweep):
+    """The fused (Pallas column program) and modular XLA pipelines share
+    one column program by construction; pin that the invariant holds on
+    the ADVERSARIAL grid classes too — identical NaN/bool patterns and
+    f64 agreement at machine precision (interpret mode on CPU)."""
+    case, p, vec, ser, _, _ = sweep
+    # Rebuild the fixture's Dataset inputs for this case.
+    seed = 400 + CASES.index(case)
+    rng = np.random.default_rng(seed)
+    _, t, td0 = (v[0].copy() for v in make_grid(ny=1, nx=N, L=L,
+                                                seed=seed))
+    pm, t, td0 = _mutate(case, p.copy(), t, td0, rng)
+    q = np.asarray(jax.jit(thermo.specific_humidity_from_dewpoint)(
+        jnp.asarray(p), jnp.asarray(td0)))
+    h = 44330.0 * (1.0 - (np.where(np.isnan(p), 500.0, p)
+                          / 1013.25) ** 0.19)
+    h = np.where(np.isnan(p), np.nan, h)
+    dat = {'pressure': jnp.asarray(p), 'temperature': jnp.asarray(t),
+           'specific_humidity': jnp.asarray(q),
+           'height_asl': jnp.asarray(h),
+           'surface_wind_u': jnp.asarray(rng.normal(3, 2, N)),
+           'surface_wind_v': jnp.asarray(rng.normal(0, 2, N)),
+           'wind_u': jnp.asarray(rng.normal(8, 5, (N, L))),
+           'wind_v': jnp.asarray(rng.normal(2, 5, (N, L))),
+           'wind_height_above_surface': jnp.asarray(
+               np.broadcast_to(np.linspace(0.0, 16000.0, L),
+                               (N, L)).copy())}
+    tables = adiabat.load_moist_adiabat_lookups()
+    a = jax.jit(lambda d: pipeline.conv_properties(
+        d, tables=tables, ignore_nans=True))(dat)
+    b = jax.jit(lambda d: pipeline.conv_properties_fused(
+        d, tables=tables, ignore_nans=True))(dat)
+    a = {k: np.asarray(v) for k, v in a.items()}
+    b = {k: np.asarray(v) for k, v in b.items()}
+    assert set(a) == set(b)
+    for k in sorted(a):
+        va, vb = a[k], b[k]
+        if va.dtype == bool:
+            np.testing.assert_array_equal(va, vb, err_msg=f'{case}: {k}')
+            continue
+        np.testing.assert_array_equal(np.isnan(va), np.isnan(vb),
+                                      err_msg=f'{case}: {k}')
+        scale = max(1.0, float(np.nanmax(np.abs(va))) if
+                    np.isfinite(va).any() else 1.0)
+        np.testing.assert_allclose(np.nan_to_num(va), np.nan_to_num(vb),
+                                   rtol=0, atol=1e-10 * scale,
+                                   err_msg=f'{case}: {k}')
+
+
 def test_sweep_grids_are_adversarial(sweep):
     """Each grid class really carries its adversarial feature."""
     case, p, vec, ser, nan_pmax, dup_p = sweep
